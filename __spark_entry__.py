@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — every implemented operator from SURVEY.md §2 as a named
+(spark, sf_dir) -> DataFrame callable.
+``oracle_sql()`` — matching DuckDB SQL for each SQL-expressible query.
+
+All real logic lives in the ``aws_snowflake_kinesis_airflow_pipeline_spark``
+package; this module is a thin adapter over its query registry.
 """
 
 from __future__ import annotations
@@ -13,26 +15,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from aws_snowflake_kinesis_airflow_pipeline_spark.plans import (
+    oracle_sql_map,
+    queries_map,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The reference's materialized ``daily_event_summary`` (its hourly CTAS,
+    sql/create_snowflake_tables.sql:31-39) — scan, date extraction, multi-key
+    group-by, count/min/max, aliasing, end to end.
+    """
+    from aws_snowflake_kinesis_airflow_pipeline_spark.plans.registry import QUERIES
+
+    return QUERIES["ref_daily_event_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return queries_map()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return oracle_sql_map()

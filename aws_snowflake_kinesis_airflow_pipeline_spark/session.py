@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+One place to encode the engine's physical-execution posture so every entry
+point (tests, bench, driver contract) runs with the same plan-shaping config:
+
+- AQE on (runtime join-strategy switch, skew-join split, partition coalescing)
+  — this is the 100 TB story: plans re-shape themselves from runtime stats
+  instead of trusting static estimates.
+- ``spark.sql.shuffle.partitions`` sized to the local core count for tests;
+  on a real cluster AQE's coalescing makes the initial number a ceiling, not
+  a constant, so a high initial value + coalescing is the scale-out setting.
+- Arrow enabled: every pandas_udf / applyInPandas / toPandas boundary is
+  columnar-batched instead of row-pickled.
+- Session timezone pinned to UTC so ``to_date``/``date_trunc`` agree with the
+  DuckDB oracle regardless of host TZ (reference stores TIMESTAMP_NTZ —
+  SURVEY.md §1.2; a fixed-UTC session gives the same no-shift behavior).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "aws_snowflake_kinesis_airflow_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session with the engine's standard config."""
+    cpus = int(DEFAULT_CPUS)
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Broadcast anything the planner *knows* is <= 32 MiB; dimension
+        # tables (region/nation/customer at bench SF) stay broadcast-side.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # The fixture events table stores TIMESTAMP(NANOS) parquet, which
+        # Spark has no native type for; read as long (ns since epoch) and let
+        # the catalog normalize to microsecond TimestampType (catalog.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,104 @@
+"""Local emulation of the driver's DuckDB-oracle correctness check.
+
+Runs every ``queries()`` entry at a given SF dir, runs the matching
+``oracle_sql()`` in DuckDB over the same parquet, and compares row count,
+column names, and order-insensitive values (float tolerance). Queries with
+no oracle get a rows-only sanity run.
+
+Usage: python tools/verify_local.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import traceback
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(rows, colnames):
+    """Sort columns by name, then rows; round floats for stable compare."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+
+    def norm_cell(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return round(v, 6)
+        return v
+
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out, [colnames[i] for i in order]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from aws_snowflake_kinesis_airflow_pipeline_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=16)
+    qs, oracles = e.queries(), e.oracle_sql()
+    con = duck_con(sf_dir)
+
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+            if name not in oracles:
+                print(f"  [rows-only] {name}: {len(srows)} rows OK")
+                n_pass += 1
+                continue
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = [tuple(r) for r in cur.fetchall()]
+            s_n, s_c = normalize(srows, scols)
+            o_n, o_c = normalize(orows, ocols)
+            if s_c != o_c:
+                print(f"  [FAIL] {name}: columns {s_c} vs oracle {o_c}")
+                n_fail += 1
+            elif len(s_n) != len(o_n):
+                print(f"  [FAIL] {name}: rowcount {len(s_n)} vs oracle {len(o_n)}")
+                n_fail += 1
+            elif s_n != o_n:
+                diffs = [
+                    (a, b) for a, b in zip(s_n, o_n) if a != b
+                ][:3]
+                print(f"  [FAIL] {name}: value mismatch; first diffs: {diffs}")
+                n_fail += 1
+            else:
+                print(f"  [pass] {name}: {len(s_n)} rows")
+                n_pass += 1
+        except Exception:
+            print(f"  [ERROR] {name}:")
+            traceback.print_exc()
+            n_fail += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail @ {sf_dir}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
