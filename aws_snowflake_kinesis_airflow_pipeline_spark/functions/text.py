@@ -1,0 +1,139 @@
+"""Text-analysis column functions for LLM-data pipelines.
+
+All pure `pyspark.sql.functions` compositions — JVM-side, codegen'd, zero
+Python in the row path. These are the building blocks for the dedup /
+quality / language operators in ``operators/dedup.py`` and the query suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tokenizer used consistently engine-wide: single-space split matches the
+#: fixture corpus; swap for r"\s+" regex split on messier corpora.
+TOKEN_SEP = " "
+
+#: BPE-ish lexer: words of alphanumerics OR single non-space punctuation —
+#: the classic pre-tokenization regex shape used by byte-pair encoders.
+BPE_TOKEN_RE = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+
+#: Tiny per-language marker-word lists for the n-gram/stopword language-ID
+#: heuristic. Intentionally small: the operator's shape (scored argmax over
+#: marker hits) is the point; production would swap richer tables in.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"],
+    "es": ["el", "la", "los", "las", "es", "en", "que", "por", "con", "una"],
+    "fr": ["le", "la", "les", "est", "et", "dans", "que", "pour", "une", "avec"],
+}
+
+ENGLISH_STOPWORDS = LANG_MARKERS["en"] + ["a", "an", "on", "at", "by", "as"]
+
+
+def tokens(col: Column | str) -> Column:
+    return F.split(F.col(col) if isinstance(col, str) else col, TOKEN_SEP)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token count via the pre-tokenizer regex (JVM regexp_count)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_TOKEN_RE))
+
+
+def word_shingles(tokens_col: Column, k: int = 3) -> Column:
+    """Word k-gram shingles as an array<string> (empty when < k tokens).
+
+    Pure array expression: transform over a sequence of start offsets,
+    concat_ws over each slice — no explode, no UDF.
+    """
+    seq = F.sequence(F.lit(1), F.size(tokens_col) - (k - 1))
+    sh = F.transform(seq, lambda i: F.concat_ws(" ", F.slice(tokens_col, i, k)))
+    return F.when(F.size(tokens_col) >= k, sh).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace,
+    trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Deterministic 128-bit content fingerprint of the normalized text.
+
+    md5 keeps the oracle trivially expressible; xxhash64 is the cheaper
+    in-engine alternative when cross-engine parity isn't needed.
+    """
+    return F.md5(normalize_text(col))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric-or-space."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[^a-zA-Z0-9 ]", "")
+    return (F.length(c) - F.length(stripped)) / F.greatest(F.length(c), F.lit(1))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of whitespace tokens that are stopwords."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or ENGLISH_STOPWORDS)])
+    t = tokens(col)
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return n_stop / F.greatest(F.size(t), F.lit(1))
+
+
+def mean_token_len(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    t = tokens(col)
+    non_space_chars = F.length(F.regexp_replace(c, " ", ""))
+    return non_space_chars / F.greatest(F.size(t), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, 1].
+
+    Rewards: reasonable length (saturating at 200 chars), low punctuation
+    density, moderate mean word length. The exact blend is a placeholder —
+    the operator contract (pure column expression, SQL-expressible, cheap)
+    is what the engine guarantees.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    length_component = F.least(F.length(c) / F.lit(200.0), F.lit(1.0))
+    punct_component = 1.0 - F.least(punct_ratio(c) * 5.0, F.lit(1.0))
+    wordlen = mean_token_len(c)
+    wordlen_component = F.when((wordlen >= 3) & (wordlen <= 10), 1.0).otherwise(0.5)
+    return F.round(
+        0.4 * length_component + 0.3 * punct_component + 0.3 * wordlen_component, 4
+    )
+
+
+def lang_id(col: Column | str) -> Column:
+    """Marker-word language ID over {en, de, es, fr} + CJK detection for zh.
+
+    Heuristic shape: tokenize, count marker hits per language, argmax with
+    'und' (undetermined) fallback when nothing matches; any CJK codepoint
+    short-circuits to 'zh'. All built-ins — scales as a scan.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.split(F.lower(c), r"\s+")
+    def _marker_hits(markers: list[str]) -> Column:
+        arr = F.array(*[F.lit(w) for w in markers])
+        return F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+
+    scores = {lang: _marker_hits(m) for lang, m in LANG_MARKERS.items()}
+    has_cjk = F.regexp_count(c, F.lit(r"[一-鿿]")) > 0
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    # reversed() so earlier languages win ties via the final when() ordering
+    for lang in reversed(list(scores)):
+        result = F.when(scores[lang] == best, F.lit(lang)).otherwise(result)
+    result = F.when(best == 0, F.lit("und")).otherwise(result)
+    return F.when(has_cjk, F.lit("zh")).otherwise(result)

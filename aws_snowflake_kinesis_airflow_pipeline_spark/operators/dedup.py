@@ -1,0 +1,350 @@
+"""Deduplication operator family for LLM-data pipelines.
+
+Five strategies, all driver-light (no collect, no cross product):
+
+- :func:`exact_dedup` — hash group-by, keep deterministic representative.
+- :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash + banded
+  LSH: shingle -> 64 minhashes -> band buckets -> in-bucket candidate join ->
+  exact-Jaccard verification. The 100 TB near-dup path: candidate generation
+  is equality-join-shaped (shuffle on band hash), never O(n^2).
+- :func:`simhash_signatures` / :func:`simhash_near_dup_pairs` — 64-bit
+  SimHash, chunk-bucket candidate join, Hamming-distance verification.
+- :func:`ngram_jaccard_pairs` — exact Jaccard via an inverted shingle index
+  (explode -> equality self-join -> group), the verification primitive.
+- :func:`embedding_near_dup_pairs` — cosine near-dup via random-hyperplane
+  LSH buckets + in-bucket exact cosine.
+
+Everything is built-in-function Spark; the only Python that touches data
+volume is plan construction.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, word_shingles
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """One row per distinct ``key_cols`` value, keeping the minimum ``id_col``
+    as the deterministic representative (dropDuplicates picks an arbitrary
+    row — unacceptable for reproducible pipelines)."""
+    others = [c for c in df.columns if c not in key_cols and c != id_col]
+    w_min = F.min(id_col).alias(id_col)
+    firsts = [F.min_by(c, id_col).alias(c) for c in others]
+    return df.groupBy(*key_cols).agg(w_min, *firsts)
+
+
+# --------------------------------------------------------------------------
+# Shingle inverted index + exact Jaccard
+# --------------------------------------------------------------------------
+
+
+def shingle_index(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, shingle) inverted index — distinct word-k-gram per document."""
+    return (
+        df.select(id_col, word_shingles(tokens(text_col), k).alias("shingles"))
+        .select(id_col, F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard >= threshold pairs (id1 < id2).
+
+    Inverted-index formulation: |A ∩ B| falls out of a shingle equality
+    self-join + count, |A ∪ B| = |A| + |B| - |A ∩ B|. The self-join only
+    pairs documents *sharing at least one shingle* — the blowup guard at
+    scale is a hot-shingle cap (drop shingles appearing in > P docs; a
+    shingle shared by thousands of docs carries no dedup signal anyway).
+
+    ``candidates``: optional (id1, id2) DataFrame to restrict verification
+    to (the LSH path); None verifies all co-shingled pairs.
+    """
+    sh = shingle_index(df, id_col, text_col, k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("id1"), "shingle")
+    b = sh.select(F.col(id_col).alias("id2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id1", "id2"], "left_semi")
+    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, k: int = 3
+) -> DataFrame:
+    """Per-document MinHash signature: h_i = min over shingles of
+    xxhash64(i, shingle). One explode + one groupBy with ``num_hashes`` min
+    aggregates — a single shuffle regardless of signature width."""
+    sh = shingle_index(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash LSH with exact-Jaccard verification.
+
+    bands=16 x rows=4 over 64 hashes: detection probability at Jaccard s is
+    1-(1-s^4)^16 (≈ 0.9998 at s=0.8) — the classic S-curve. Candidates come
+    from an equality join on (band_id, band_hash); each candidate pair is
+    then verified with exact Jaccard so false positives never escape.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
+                "band_hash"
+            ),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        id_col, F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+    left = buckets.select(
+        F.col(id_col).alias("id1"), "band_id", "band_hash"
+    )
+    right = buckets.select(
+        F.col(id_col).alias("id2"), "band_id", "band_hash"
+    )
+    candidates = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    return ngram_jaccard_pairs(
+        df, id_col, text_col, k=k, threshold=threshold, candidates=candidates
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+_SIMHASH_BITS = 64
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: sum +/-1 per bit over token hashes
+    (weighted by term frequency via non-distinct explode), then take signs.
+
+    64 conditional-sum aggregates in one groupBy — single shuffle.
+    """
+    tok = df.select(
+        id_col, F.explode(tokens(text_col)).alias("token")
+    ).withColumn("th", F.xxhash64("token"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    sums = tok.groupBy(id_col).agg(*bit_sums)
+    sig = F.lit(0).cast("long")
+    for j in range(_SIMHASH_BITS - 1):
+        sig = sig + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0)
+    # bit 63 is the sign bit of a signed long — add its two's-complement value
+    sig = sig + F.when(
+        F.col(f"s{_SIMHASH_BITS - 1}") > 0, F.lit(-(1 << 63))
+    ).otherwise(0)
+    return sums.select(id_col, sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole bucketing: split the 64-bit signature into 4 x 16-bit chunks;
+    any pair within Hamming 3 must agree exactly on >= 1 chunk, so an
+    equality join per chunk finds all such pairs without a cross product.
+    Verification = bit_count(xor) — exact, no false positives.
+    """
+    sig = simhash_signatures(df, id_col, text_col)
+    chunks = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select(id_col, "simhash", "ch.chunk_id", "ch.chunk_val")
+
+    left = chunks.select(
+        F.col(id_col).alias("id1"),
+        F.col("simhash").alias("sh1"),
+        "chunk_id",
+        "chunk_val",
+    )
+    right = chunks.select(
+        F.col(id_col).alias("id2"),
+        F.col("simhash").alias("sh2"),
+        "chunk_id",
+        "chunk_val",
+    )
+    return (
+        left.join(right, ["chunk_id", "chunk_val"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "sh1", "sh2")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding cosine near-dup (random hyperplane LSH)
+# --------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)
+    ]
+
+
+def cosine_col(a, b) -> F.Column:
+    """Cosine similarity between two array<double> columns — zip_with dot
+    product and aggregate norms, all JVM array expressions."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def hyperplane_bucket(vec_col, planes: list[list[float]]) -> F.Column:
+    """Sign-bit bucket id from random hyperplanes (int with n_bits bits)."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(
+            F.zip_with(vec_col, p, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(0)
+    return bucket
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs with cosine >= threshold via multi-table hyperplane LSH.
+
+    n_tables independent 8-bit sign buckets; a pair collides in table t with
+    prob (1 - theta/pi)^8 — multiple tables push recall up. In-bucket pairs
+    are verified with exact cosine, so precision is exact.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    with_buckets = df.select(F.col(id_col), v.alias("v"))
+    tables = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_bits, seed + t * 1000)
+        tables.append(
+            with_buckets.select(
+                id_col,
+                "v",
+                F.lit(t).alias("table_id"),
+                hyperplane_bucket(F.col("v"), planes).alias("bucket"),
+            )
+        )
+    buckets = tables[0]
+    for t in tables[1:]:
+        buckets = buckets.union(t)
+
+    left = buckets.select(
+        F.col(id_col).alias("id1"), F.col("v").alias("v1"), "table_id", "bucket"
+    )
+    right = buckets.select(
+        F.col(id_col).alias("id2"), F.col("v").alias("v2"), "table_id", "bucket"
+    )
+    return (
+        left.join(right, ["table_id", "bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "v1", "v2")
+        .distinct()
+        .withColumn("cosine", F.round(cosine_col(F.col("v1"), F.col("v2")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )

@@ -1,0 +1,100 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, same contract (top-k neighbors of a query vector):
+
+- :func:`brute_force_topk` — exact: scan, cosine per row (JVM array exprs),
+  TakeOrderedAndProject. The correctness baseline; at 100 TB still
+  embarrassingly parallel (per-partition top-k, k-row merge) but reads
+  everything.
+- :func:`lsh_topk` — approximate scale path: rows are pre-bucketed by
+  random-hyperplane signs; the query probes its own bucket plus all buckets
+  within Hamming distance ``probe_hamming``, reading only matching buckets.
+  On a bucketed/partitioned table this turns into partition pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _hyperplanes, cosine_col, hyperplane_bucket
+
+
+def _query_array(query_vec: list[float]) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """Exact cosine top-k: (id, cosine) ordered desc, id tiebreak."""
+    q = _query_array(query_vec)
+    v = F.col(vec_col).cast("array<double>")
+    out = df.select(
+        F.col(id_col),
+        F.round(cosine_col(v, q), 4).alias("cosine"),
+    )
+    if exclude_ids:
+        out = out.filter(~F.col(id_col).isin(exclude_ids))
+    return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    vec_col: str,
+    n_bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Attach the hyperplane sign bucket — the indexing step. At scale this
+    column becomes the table's bucketBy/partitionBy key so probes prune."""
+    planes = _hyperplanes(dim, n_bits, seed)
+    v = F.col(vec_col).cast("array<double>")
+    return df.withColumn("lsh_bucket", hyperplane_bucket(v, planes))
+
+
+def _bucket_of(query_vec: list[float], n_bits: int, dim: int, seed: int) -> int:
+    planes = _hyperplanes(dim, n_bits, seed)
+    bucket = 0
+    for i, plane in enumerate(planes):
+        if sum(x * y for x, y in zip(query_vec, plane)) > 0:
+            bucket |= 1 << i
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    probe_hamming: int = 1,
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """Approximate top-k: probe the query's bucket and neighbors within
+    ``probe_hamming`` sign flips, exact cosine within the probed subset.
+
+    Probed fraction ≈ sum_{h<=H} C(n_bits,h) / 2^n_bits (e.g. 9/256 at
+    8 bits, H=1) — the scan-cost knob. Recall rises with more probes.
+    """
+    qb = _bucket_of(query_vec, n_bits, dim, seed)
+    probes = [qb]
+    if probe_hamming >= 1:
+        probes += [qb ^ (1 << i) for i in range(n_bits)]
+    if probe_hamming >= 2:
+        probes += [
+            qb ^ (1 << i) ^ (1 << j)
+            for i in range(n_bits)
+            for j in range(i + 1, n_bits)
+        ]
+    bucketed = with_lsh_buckets(df, vec_col, n_bits, dim, seed)
+    subset = bucketed.filter(F.col("lsh_bucket").isin(probes))
+    return brute_force_topk(subset, vec_col, id_col, query_vec, k, exclude_ids)

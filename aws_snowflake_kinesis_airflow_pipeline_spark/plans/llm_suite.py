@@ -1,0 +1,302 @@
+"""LLM-data-pipeline queries (SURVEY.md §2 Part B11-B13 + north-star ops):
+dedup family, similarity search, text analysis, multimodal plumbing.
+
+Oracle policy: exact/deterministic ops get DuckDB SQL; sketch/LSH ops are
+rows-only by design (approximate candidate generation), with pytest
+coverage planting known duplicates to pin recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import text as TX
+from ..operators import dedup, multimodal, similarity
+from .registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# Dedup family (B11)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "c1_exact_dedup",
+    oracle="""
+    SELECT text, MIN(doc_id) AS doc_id, MIN(lang) AS lang
+    FROM (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents
+    )
+    GROUP BY text
+    """,
+    survey_ref="§2 B11 exact dedup (hash group-by, deterministic keeper)",
+)
+def c1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a corpus with every doc duplicated (union of the
+    fixture with an id-shifted copy) — keeps min doc_id per distinct text."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    shifted = docs.withColumn("doc_id", F.col("doc_id") + 1000000)
+    corpus = docs.union(shifted)
+    out = dedup.exact_dedup(corpus, key_cols=["text"], id_col="doc_id")
+    return out.select("text", "doc_id", "lang")
+
+
+@register(
+    "c2_minhash_lsh_near_dups",
+    oracle=None,  # LSH candidate generation is approximate by design
+    survey_ref="§2 B11 MinHash+LSH near-dup (shingle→minhash→band→bucket join)",
+)
+def c2_minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.8
+    ).orderBy("id1", "id2")
+
+
+@register(
+    "c3_ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+      WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS m
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           ROUND(m * 1.0 / (s1.n + s2.n - m), 4) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON id1 = s1.doc_id
+    JOIN sizes s2 ON id2 = s2.doc_id
+    WHERE ROUND(m * 1.0 / (s1.n + s2.n - m), 4) >= 0.8
+    """,
+    survey_ref="§2 B11 exact n-gram Jaccard via inverted shingle index",
+)
+def c3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", k=3, threshold=0.8
+    )
+
+
+@register(
+    "c4_simhash_near_dups",
+    oracle=None,  # xxhash64-based signature has no DuckDB equivalent
+    survey_ref="§2 B11 SimHash near-dup (chunk pigeonhole + Hamming verify)",
+)
+def c4_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", max_hamming=6
+    ).orderBy("id1", "id2")
+
+
+@register(
+    "c5_embedding_near_dups",
+    oracle=None,  # LSH bucketing approximate by design
+    survey_ref="§2 B11 embedding-cosine near-dup (hyperplane LSH + verify)",
+)
+def c5_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup_pairs(
+        _emb(spark, sf_dir), "vec_id", "embedding", threshold=0.5
+    ).orderBy("id1", "id2")
+
+
+# --------------------------------------------------------------------------
+# Similarity search (B12)
+# --------------------------------------------------------------------------
+
+_QUERY_VEC_ID = 0
+
+
+@register(
+    "c6_cosine_topk_bruteforce",
+    oracle=f"""
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(
+             CAST(e.embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+              WHERE vec_id = {_QUERY_VEC_ID})
+           ), 4) AS cosine
+    FROM embeddings e
+    WHERE e.vec_id <> {_QUERY_VEC_ID}
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+    """,
+    survey_ref="§2 B12 brute-force cosine top-k (exact baseline)",
+)
+def c6_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).first()["embedding"]
+    return similarity.brute_force_topk(
+        emb, "embedding", "vec_id", list(qvec), k=10, exclude_ids=[_QUERY_VEC_ID]
+    )
+
+
+@register(
+    "c7_cosine_topk_lsh",
+    oracle=None,  # approximate (bucket-probed subset)
+    survey_ref="§2 B12 LSH-bucketed ANN (scale path: probe ≈9/256 of data)",
+)
+def c7_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).first()["embedding"]
+    return similarity.lsh_topk(
+        emb,
+        "embedding",
+        "vec_id",
+        list(qvec),
+        k=10,
+        probe_hamming=1,
+        exclude_ids=[_QUERY_VEC_ID],
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis (B13 extended)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "c8_token_counts",
+    oracle="""
+    SELECT doc_id,
+           LEN(STRING_SPLIT(text, ' ')) AS ws_tokens,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS INT)
+             AS bpe_tokens
+    FROM documents
+    """,
+    survey_ref="§2 B13 token counting (whitespace + BPE-ish regex)",
+)
+def c8_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("ws_tokens"),
+        TX.bpe_token_count("text").cast("int").alias("bpe_tokens"),
+    )
+
+
+@register(
+    "c9_doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    survey_ref="§2 B13 document fingerprinting (normalized content hash)",
+)
+def c9_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", TX.doc_fingerprint("text").alias("fingerprint")
+    )
+
+
+@register(
+    "c10_quality_components",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_exact,
+           LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+           ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                 * 1.0 / GREATEST(LENGTH(text), 1), 4) AS punct_ratio,
+           ROUND(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                     x -> LIST_CONTAINS(['the','and','of','to','is','in','that',
+                                         'it','for','with','a','an','on','at',
+                                         'by','as'], x)))
+                 * 1.0 / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1), 4)
+             AS stopword_ratio
+    FROM documents
+    """,
+    survey_ref="§2 B13 quality scoring components (length/punct/stopword)",
+)
+def c10_quality_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_exact"),
+        TX.token_count("text").alias("n_tokens"),
+        F.round(TX.punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(TX.stopword_ratio("text"), 4).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "c11_lang_id_histogram",
+    oracle=None,  # heuristic marker-word argmax; pinned by unit tests instead
+    survey_ref="§2 B13 language-ID heuristic histogram",
+)
+def c11_lang_id_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(TX.lang_id("text").alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("pred_lang")
+    )
+
+
+@register(
+    "c12_quality_scores",
+    oracle=None,  # composite heuristic; components oracle-checked in c10
+    survey_ref="§2 B13 composite quality score",
+)
+def c12_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", TX.quality_score("text").alias("quality")
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "c13_media_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+           SHA256(text) AS digest,
+           'image/png' AS mime,
+           CAST(n_chars % 1024 AS INT) AS width,
+           CAST(n_chars % 768 AS INT) AS height
+    FROM documents
+    """,
+    survey_ref="north-star multimodal: binary metadata extraction (JVM-side)",
+)
+def c13_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.documents_as_media(_docs(spark, sf_dir))
+    return multimodal.media_metadata(media)
+
+
+@register(
+    "c14_media_features",
+    oracle=None,  # mapInPandas kernel (sha-derived fake features)
+    survey_ref="north-star multimodal: Arrow-batched feature extraction",
+)
+def c14_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.documents_as_media(_docs(spark, sf_dir))
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
+    ).orderBy("media_id")

@@ -1,0 +1,114 @@
+"""Dedup-family tests with planted duplicates / near-duplicates — recall is
+pinned here since the LSH queries are rows-only in the oracle harness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_snowflake_kinesis_airflow_pipeline_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away into "
+    "the deep green forest tonight while stars shine bright above the hills"
+)
+NEAR = BASE.replace("tonight", "today")  # one-token edit -> high jaccard
+OTHER = (
+    "completely different content about database engines and query planners "
+    "optimizing joins aggregates and shuffles across large clusters of machines"
+)
+
+
+def make_docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, OTHER), (4, BASE)],  # 4 = exact dup of 1
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    docs = make_docs(spark)
+    out = dedup.exact_dedup(docs, key_cols=["text"], id_col="doc_id")
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 2, 3]  # 4 collapsed into 1 (min id wins)
+
+
+def test_ngram_jaccard_finds_planted_pair(spark):
+    docs = make_docs(spark)
+    pairs = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0  # near dup
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_lsh_recalls_planted_pairs(spark):
+    docs = make_docs(spark)
+    got = {
+        (r["id1"], r["id2"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert (1, 4) in got and (1, 2) in got
+
+
+def test_minhash_matches_exact_jaccard_on_fixture(spark, sf_dir):
+    """LSH candidates + exact verify must equal the full exact pass at the
+    fixture's planted-near-dup threshold (recall check at corpus scale)."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id1"], r["id2"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    lsh = {
+        (r["id1"], r["id2"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert lsh == exact
+
+
+def test_simhash_near_dups(spark):
+    docs = make_docs(spark)
+    sig = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures(docs, "doc_id", "text").collect()
+    }
+    assert sig[1] == sig[4]  # identical text -> identical signature
+    pairs = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in dedup.simhash_near_dup_pairs(
+            docs, "doc_id", "text", max_hamming=10
+        ).collect()
+    }
+    assert pairs[(1, 4)] == 0
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 10
+    assert (1, 3) not in pairs and (2, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_embedding_near_dups_planted(spark):
+    v = [1.0, 0.0, 0.5, 0.2] * 16  # dim 64
+    v_near = list(v)
+    v_near[0] = 0.98
+    v_far = [(-1.0) ** i * (i % 7) for i in range(64)]
+    emb = spark.createDataFrame(
+        [(1, v), (2, v_near), (3, v_far)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = {
+        (r["id1"], r["id2"]): r["cosine"]
+        for r in dedup.embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.95
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert not any(3 in p for p in pairs)

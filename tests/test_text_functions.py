@@ -1,0 +1,53 @@
+"""Text-function tests: tokenizers, shingles, fingerprints, lang-ID on real
+multilingual samples (the heuristic's contract), quality components."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_snowflake_kinesis_airflow_pipeline_spark.functions import text as TX
+
+
+def one(spark, s, col):
+    return spark.createDataFrame([(s,)], "text string").select(
+        col.alias("out")
+    ).first()["out"]
+
+
+def test_token_counts(spark):
+    assert one(spark, "a b c", TX.token_count("text")) == 3
+    assert one(spark, "hello, world!", TX.bpe_token_count("text")) == 4
+
+
+def test_word_shingles(spark):
+    got = one(spark, "a b c d", TX.word_shingles(TX.tokens("text"), 3))
+    assert got == ["a b c", "b c d"]
+    assert one(spark, "a b", TX.word_shingles(TX.tokens("text"), 3)) == []
+
+
+def test_fingerprint_normalizes(spark):
+    a = one(spark, "Hello   World", TX.doc_fingerprint("text"))
+    b = one(spark, "hello world ", TX.doc_fingerprint("text"))
+    c = one(spark, "hello worlds", TX.doc_fingerprint("text"))
+    assert a == b != c
+
+
+def test_lang_id_on_real_samples(spark):
+    samples = {
+        "the cat is in the house and it is warm": "en",
+        "der hund ist nicht in das haus und die katze": "de",
+        "el perro es grande y la casa es una maravilla en que vivo": "es",
+        "le chien est dans la maison et les chats pour une fois": "fr",
+        "这是一个中文句子": "zh",
+    }
+    for text_val, expect in samples.items():
+        assert one(spark, text_val, TX.lang_id("text")) == expect, text_val
+    assert one(spark, "zzz qqq xxx", TX.lang_id("text")) == "und"
+
+
+def test_quality_components(spark):
+    assert one(spark, "a,b!c?", TX.punct_ratio("text")) == 0.5
+    sw = one(spark, "the dog and the cat", TX.stopword_ratio("text"))
+    assert abs(sw - 0.6) < 1e-9
+    q = one(spark, "the quick brown fox jumps over the lazy dog", TX.quality_score("text"))
+    assert 0.0 <= q <= 1.0
