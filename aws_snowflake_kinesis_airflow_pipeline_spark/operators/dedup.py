@@ -66,6 +66,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-k-gram Jaccard >= threshold pairs (id1 < id2).
 
@@ -77,8 +78,10 @@ def ngram_jaccard_pairs(
 
     ``candidates``: optional (id1, id2) DataFrame to restrict verification
     to (the LSH path); None verifies all co-shingled pairs.
+    ``index``: optional prebuilt (cached) shingle index to reuse across the
+    signature and verification passes.
     """
-    sh = shingle_index(df, id_col, text_col, k).cache()
+    sh = index if index is not None else shingle_index(df, id_col, text_col, k).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("id1"), "shingle")
@@ -114,12 +117,17 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, k: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    k: int = 3,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature: h_i = min over shingles of
     xxhash64(i, shingle). One explode + one groupBy with ``num_hashes`` min
     aggregates — a single shuffle regardless of signature width."""
-    sh = shingle_index(df, id_col, text_col, k)
+    sh = index if index is not None else shingle_index(df, id_col, text_col, k)
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -144,7 +152,8 @@ def minhash_lsh_pairs(
     then verified with exact Jaccard so false positives never escape.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    sh = shingle_index(df, id_col, text_col, k).cache()
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k, index=sh)
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -171,7 +180,13 @@ def minhash_lsh_pairs(
         .distinct()
     )
     return ngram_jaccard_pairs(
-        df, id_col, text_col, k=k, threshold=threshold, candidates=candidates
+        df,
+        id_col,
+        text_col,
+        k=k,
+        threshold=threshold,
+        candidates=candidates,
+        index=sh,
     )
 
 
