@@ -54,3 +54,4 @@ def oracle_sql_map() -> dict[str, str]:
 from . import reference_suite  # noqa: E402,F401
 from . import relational_suite  # noqa: E402,F401
 from . import llm_suite  # noqa: E402,F401
+from . import streaming_suite  # noqa: E402,F401

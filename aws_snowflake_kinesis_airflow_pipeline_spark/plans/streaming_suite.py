@@ -1,0 +1,100 @@
+"""Batch twins of the streaming window operators (B14-B15) as oracle-checked
+registry queries. The streaming forms (watermarks, state eviction,
+dropDuplicatesWithinWatermark) are exercised by tests/test_streaming.py via
+stream==batch equivalence; these entries pin the window *semantics* against
+DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..streaming import windows as W
+from .registry import register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "s1_tumbling_window_counts",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS window_start,
+           DATE_TRUNC('hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    survey_ref="§2 B14 tumbling window counts (batch twin of streaming agg)",
+)
+def s1_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.tumbling_counts(_events(spark, sf_dir), streaming=False)
+
+
+@register(
+    "s2_sliding_window_counts",
+    oracle="""
+    SELECT ws AS window_start,
+           ws + INTERVAL '1 hour' AS window_end,
+           COUNT(*) AS n
+    FROM (
+      SELECT UNNEST([
+        time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+        time_bucket(INTERVAL '30 minutes', ts)
+      ]) AS ws
+      FROM events
+    )
+    GROUP BY 1, 2
+    """,
+    survey_ref="§2 B14 sliding window counts (1h window / 30m slide)",
+)
+def s2_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.sliding_counts(_events(spark, sf_dir), streaming=False)
+
+
+@register(
+    "s3_session_gaps_and_islands",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - LAG(epoch(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    ids AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flags
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_last_event,
+           COUNT(*) AS n
+    FROM ids
+    GROUP BY 1, 2
+    """,
+    survey_ref="§2 B15 sessionization (batch gaps-and-islands ground truth)",
+)
+def s3_session_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.batch_sessions_gaps_and_islands(
+        _events(spark, sf_dir), gap_minutes=30
+    )
+
+
+@register(
+    "s4_session_window_counts",
+    oracle=None,  # session_window merge semantics pinned by stream==batch test
+    survey_ref="§2 B15 session_window operator (batch form)",
+)
+def s4_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.session_counts(_events(spark, sf_dir), streaming=False).orderBy(
+        "user_id", "session_start"
+    )

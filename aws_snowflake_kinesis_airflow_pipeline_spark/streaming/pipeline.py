@@ -1,0 +1,186 @@
+"""The ingest pipeline: E2/E3 fused into one checkpointed streaming query.
+
+Reference behavior re-expressed (SURVEY.md §3):
+
+- hourly DAG schedule            -> micro-batch trigger (or availableNow)
+- S3KeySensor partition poll     -> streaming file source discovery
+- COPY INTO staging (ON_ERROR)   -> PERMISSIVE read, corrupt-record column
+- INSERT..SELECT w/ NOT IN dedup -> not-null filter + left-anti join append
+- DQ SQL + Python gate           -> counts + raise inside foreachBatch
+- XCom records_processed         -> observe() metrics on the batch
+- email notify                   -> log line (listener hook point)
+
+Everything per-batch happens inside ``foreachBatch`` in statement order —
+the same linear dependency chain as the DAG (O5), but transactionally
+closer: a failed gate fails the batch, and the checkpoint replays it.
+
+Storage: parquet directories managed by path (works everywhere); the same
+logic drops onto Delta tables with MERGE when the runtime has it.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.relational import (
+    REQUIRED_EVENT_COLS,
+    daily_event_summary,
+    insert_dedup_anti_join,
+)
+from ..sources.json_landing import read_landing_stream
+
+
+@dataclass
+class IngestStats:
+    """Per-batch observability (the XCom metric, O4)."""
+
+    batches: int = 0
+    rows_seen: int = 0
+    rows_inserted: int = 0
+    corrupt_rows: int = 0
+    history: list[dict] = field(default_factory=list)
+
+
+class IngestPipeline:
+    """Landing zone -> raw table -> deduped events table -> daily summary."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        landing_path: str,
+        warehouse_path: str,
+        fail_on_dq: bool = True,
+    ):
+        self.spark = spark
+        self.landing_path = landing_path
+        self.raw_path = os.path.join(warehouse_path, "raw_data")
+        self.events_path = os.path.join(warehouse_path, "events")
+        self.summary_path = os.path.join(warehouse_path, "daily_event_summary")
+        self.checkpoint = os.path.join(warehouse_path, "_checkpoints", "ingest")
+        self.fail_on_dq = fail_on_dq
+        self.stats = IngestStats()
+
+    # -- table handles ----------------------------------------------------
+
+    def _read_events_table(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(self.events_path)
+        except Exception:
+            # first batch: empty target
+            from ..sources.json_landing import LANDING_SCHEMA
+
+            df = self.spark.createDataFrame([], LANDING_SCHEMA)
+            return df.withColumn(
+                "event_timestamp",
+                F.col("event_timestamp").cast("timestamp_ntz"),
+            ).withColumn("ts", F.col("event_timestamp")).drop("event_timestamp")
+
+    def events_table(self) -> DataFrame:
+        return self.spark.read.parquet(self.events_path)
+
+    def summary_table(self) -> DataFrame:
+        return self.spark.read.parquet(self.summary_path)
+
+    # -- the per-batch body (the DAG's task chain, in order) --------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()
+        try:
+            n_seen = batch_df.count()
+
+            # 1. append everything (incl. corrupt) to raw_data — the landing
+            #    table mirrors COPY INTO's keep-all behavior (K3/S3).
+            batch_df.write.mode("append").parquet(self.raw_path)
+
+            # 2. clean + transform: drop corrupt rows, enforce not-null keys,
+            #    normalize column names to the engine's events schema.
+            n_corrupt = batch_df.filter(
+                F.col("_corrupt_record").isNotNull()
+            ).count()
+            clean = (
+                batch_df.filter(F.col("_corrupt_record").isNull())
+                .drop("_corrupt_record")
+                .withColumnRenamed("event_timestamp", "ts")
+            )
+            for c in ("event_id", "ts", "event_type", "user_id"):
+                clean = clean.filter(F.col(c).isNotNull())
+            # Within-batch dedup: the reference's NOT-IN only guards against
+            # rows already in the target, so a replay landing in the same
+            # batch would insert twice and trip its own DQ gate. One row per
+            # event_id per batch closes that hole.
+            clean = clean.dropDuplicates(["event_id"])
+
+            # 3. anti-join dedup append into events (J1/K5): at-least-once
+            #    landing becomes exactly-once table content even if a batch
+            #    retries after step-1 succeeded (defense-in-depth, O8).
+            target = self._read_events_table().select("event_id")
+            to_insert = insert_dedup_anti_join(clean, target).cache()
+            try:
+                n_insert = to_insert.count()
+                if n_insert:
+                    to_insert.write.mode("append").parquet(self.events_path)
+            finally:
+                to_insert.unpersist()
+
+            # 4. DQ gate (O6): duplicates / incomplete in the events table.
+            events = self.events_table()
+            n_dup = (
+                events.groupBy("event_id")
+                .agg(F.count("*").alias("n"))
+                .filter(F.col("n") > 1)
+                .count()
+            )
+            if self.fail_on_dq and n_dup > 0:
+                raise ValueError(
+                    f"DQ gate: {n_dup} duplicate event_ids in events table"
+                )
+
+            # 5. summary refresh (K4 CTAS overwrite, hourly in reference).
+            daily_event_summary(
+                events.withColumnRenamed("event_timestamp", "ts")
+                if "event_timestamp" in events.columns
+                else events
+            ).write.mode("overwrite").parquet(self.summary_path)
+
+            # 6. metrics (O4) + notification hook (O7).
+            self.stats.batches += 1
+            self.stats.rows_seen += n_seen
+            self.stats.rows_inserted += n_insert
+            self.stats.corrupt_rows += n_corrupt
+            self.stats.history.append(
+                {
+                    "batch_id": batch_id,
+                    "seen": n_seen,
+                    "inserted": n_insert,
+                    "corrupt": n_corrupt,
+                }
+            )
+        finally:
+            batch_df.unpersist()
+
+    # -- query lifecycle --------------------------------------------------
+
+    def start(self, available_now: bool = True, max_files_per_trigger=None):
+        stream = read_landing_stream(
+            self.spark, self.landing_path, max_files_per_trigger
+        )
+        writer = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime="300 seconds")
+        return writer.start()
+
+    def run_once(self) -> None:
+        """Process everything currently in the landing zone, then stop —
+        the test/catch-up mode (Trigger.AvailableNow ↔ one DAG run)."""
+        q = self.start(available_now=True)
+        q.awaitTermination()

@@ -1,0 +1,214 @@
+"""Streaming tests: end-to-end ingest pipeline (E2/E3 semantics), stream ==
+batch equivalence for window operators, stateful dedup, idempotent re-runs."""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_snowflake_kinesis_airflow_pipeline_spark.sources import json_landing, rate_events
+from aws_snowflake_kinesis_airflow_pipeline_spark.streaming import windows as W
+from aws_snowflake_kinesis_airflow_pipeline_spark.streaming.pipeline import IngestPipeline
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    landing = str(tmp_path / "landing")
+    warehouse = str(tmp_path / "warehouse")
+    os.makedirs(landing, exist_ok=True)
+    return landing, warehouse
+
+
+def test_generator_shapes_match_reference_producer(spark):
+    batch = rate_events.event_batch(spark, 50)
+    rows = batch.collect()
+    assert len(rows) == 50
+    r = rows[0]
+    assert r["event_id"].startswith("evt-")
+    assert r["event_type"] in rate_events.EVENT_TYPES
+    assert r["user_id"].startswith("user_")
+    assert '"product_id"' in r["data"] and '"price"' in r["data"]
+    keyed = rate_events.keyed_for_stream_sink(batch).first()
+    assert keyed["key"].startswith("user_")  # PartitionKey=user_id
+
+
+def test_landing_roundtrip_hive_partitioned_gzip(spark, dirs):
+    landing, _ = dirs
+    events = rate_events.event_batch(spark, 100)
+    json_landing.write_landing_batch(events, landing)
+    # hive partition dirs exist (Firehose layout)
+    years = [d for d in os.listdir(landing) if d.startswith("year=")]
+    assert years == ["year=2024"]
+    # Spark disallows filtering a raw JSON scan on only _corrupt_record;
+    # cache() materializes the parse first (the pipeline does the same).
+    back = json_landing.read_landing_batch(spark, landing).cache()
+    assert back.filter(F.col("_corrupt_record").isNull()).count() == 100
+    assert dict(back.dtypes)["event_timestamp"] == "timestamp_ntz"
+
+
+def test_ingest_end_to_end_with_dedup_and_corrupt_rows(spark, dirs):
+    landing, warehouse = dirs
+    events = rate_events.event_batch(spark, 200)
+    json_landing.write_landing_batch(events, landing)
+    # plant: a duplicate file of the same 200 events (at-least-once replay,
+    # O8) and a corrupt JSON file (ON_ERROR=CONTINUE, S3)
+    json_landing.write_landing_batch(events.limit(50), landing)
+    part_dir = os.path.join(landing, "year=2024", "month=1", "day=1", "hour=0")
+    with gzip.open(os.path.join(part_dir, "corrupt.json.gz"), "wt") as f:
+        f.write('{"event_id": "evt-bad", INVALID JSON\n')
+        f.write('{"event_timestamp": "2024-01-01T00:00:01", "event_type": "view", "user_id": "user_1"}\n')
+
+    pipe = IngestPipeline(spark, landing, warehouse)
+    pipe.run_once()
+
+    ev = pipe.events_table()
+    assert ev.count() == 200  # 50 replayed dups dropped, corrupt+null-id dropped
+    assert ev.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
+    assert pipe.stats.corrupt_rows == 1  # the invalid-JSON line
+    # raw_data keeps everything incl. corrupt (COPY-like landing table)
+    raw = spark.read.parquet(pipe.raw_path)
+    assert raw.count() == 252
+
+    # summary equals a batch recomputation over the deduped events table
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.relational import (
+        daily_event_summary,
+    )
+
+    got = {
+        (r["event_date"], r["event_type"]): r["event_count"]
+        for r in pipe.summary_table().collect()
+    }
+    want = {
+        (r["event_date"], r["event_type"]): r["event_count"]
+        for r in daily_event_summary(ev).collect()
+    }
+    assert got == want
+
+
+def test_ingest_rerun_is_idempotent(spark, dirs):
+    """Property from SURVEY.md §5: running ingest twice ≡ once (O8+J1)."""
+    landing, warehouse = dirs
+    events = rate_events.event_batch(spark, 100)
+    json_landing.write_landing_batch(events, landing)
+    pipe = IngestPipeline(spark, landing, warehouse)
+    pipe.run_once()
+    n1 = pipe.events_table().count()
+
+    # same files again -> file-source checkpoint skips them entirely
+    pipe2 = IngestPipeline(spark, landing, warehouse)
+    pipe2.run_once()
+    assert pipe2.events_table().count() == n1
+
+    # new file with ALL-duplicate event_ids -> read, but anti-join inserts 0
+    json_landing.write_landing_batch(events.limit(30), landing)
+    pipe3 = IngestPipeline(spark, landing, warehouse)
+    pipe3.run_once()
+    assert pipe3.events_table().count() == n1
+    assert pipe3.stats.rows_inserted == 0
+
+
+def _streamable_events(spark, tmp_path, rows):
+    """Write rows as parquet and reopen as a file-source stream."""
+    path = str(tmp_path / "events_src")
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+    df.write.mode("overwrite").parquet(path)
+    return df, spark.readStream.schema(df.schema).parquet(path)
+
+
+def _run_complete(stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+BASE_TS = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _mk_rows():
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for minutes in (0, 10, 20, 75, 80, 200):  # 3 sessions per user at 30m gap
+            rows.append((eid, BASE_TS + dt.timedelta(minutes=minutes), u, "view"))
+            eid += 1
+    return rows
+
+
+def test_tumbling_stream_equals_batch(spark, tmp_path):
+    batch_df, stream_df = _streamable_events(spark, tmp_path, _mk_rows())
+    got = {
+        (r["window_start"], r["event_type"], r["n"])
+        for r in _run_complete(
+            W.tumbling_counts(stream_df), "t_tumble"
+        ).collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"], r["n"])
+        for r in W.tumbling_counts(batch_df, streaming=False).collect()
+    }
+    assert got == want and len(want) > 1
+
+
+def test_sliding_stream_equals_batch(spark, tmp_path):
+    batch_df, stream_df = _streamable_events(spark, tmp_path, _mk_rows())
+    got = {
+        (r["window_start"], r["n"])
+        for r in _run_complete(W.sliding_counts(stream_df), "t_slide").collect()
+    }
+    want = {
+        (r["window_start"], r["n"])
+        for r in W.sliding_counts(batch_df, streaming=False).collect()
+    }
+    assert got == want and len(want) > 2
+
+
+def test_session_stream_equals_batch_and_gaps_islands(spark, tmp_path):
+    batch_df, stream_df = _streamable_events(spark, tmp_path, _mk_rows())
+    got = {
+        (r["session_start"], r["user_id"], r["n"])
+        for r in _run_complete(W.session_counts(stream_df), "t_sess").collect()
+    }
+    want = {
+        (r["session_start"], r["user_id"], r["n"])
+        for r in W.session_counts(batch_df, streaming=False).collect()
+    }
+    assert got == want
+    # and the gaps-and-islands ground truth agrees on (start, key, count)
+    gi = {
+        (r["session_start"], r["user_id"], r["n"])
+        for r in W.batch_sessions_gaps_and_islands(batch_df).collect()
+    }
+    assert {(s, u, n) for s, u, n in got} == gi
+    assert len(gi) == 6  # 3 sessions x 2 users
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    rows = [
+        (1, BASE_TS, 1, "view"),
+        (1, BASE_TS + dt.timedelta(seconds=30), 1, "view"),  # dup key
+        (2, BASE_TS + dt.timedelta(minutes=1), 1, "view"),
+    ]
+    _, stream_df = _streamable_events(spark, tmp_path, rows)
+    out = (
+        W.dedup_within_watermark(stream_df, ["event_id"])
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination()
+    got = spark.table("t_dedup").select("event_id").collect()
+    assert sorted(r["event_id"] for r in got) == [1, 2]
