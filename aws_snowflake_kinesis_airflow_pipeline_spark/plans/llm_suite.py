@@ -288,6 +288,24 @@ def c13_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b17_pandas_udf_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS pd_tokens
+    FROM documents
+    """,
+    survey_ref="§2 B17 UDF escape hatch (Arrow-batched pandas_udf, "
+    "oracle-verified against the SQL equivalent)",
+)
+def b17_pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udf_demo import pd_token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", pd_token_count("text").alias("pd_tokens")
+    )
+
+
+@register(
     "c14_media_features",
     oracle=None,  # mapInPandas kernel (sha-derived fake features)
     survey_ref="north-star multimodal: Arrow-batched feature extraction",
