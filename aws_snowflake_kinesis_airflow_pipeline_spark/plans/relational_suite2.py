@@ -1,0 +1,177 @@
+"""Additional relational shapes: simple-predicate aggregate (TPC-H Q6),
+pivot, scalar subquery, correlated-count filter, CTE — rounding out the SQL
+surface a Snowflake user would expect (SURVEY.md §2 Part B widening).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, register_views
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    survey_ref="§2 B9/G1 simple-predicate scan aggregate (TPC-H Q6 shape)",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: all four predicates push to the parquet scan; the aggregate is a
+    single partial+final sum — pure scan throughput at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "b_pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    survey_ref="§2 B6-adjacent pivot (wide conditional aggregation)",
+)
+def b_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit values — explicit value lists keep the plan a
+    single pass (no distinct-values pre-query) and fix output columns."""
+    orders = _t(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))  # pivot disallows the star form of count
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+    )
+
+
+@register(
+    "b_scalar_subquery_above_avg",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+    """,
+    survey_ref="§2 B3-adjacent scalar subquery (uncorrelated)",
+)
+def b_scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders 50% above the global average. SQL form on registered views —
+    Catalyst plans the scalar subquery as a broadcast one-row join."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+        """
+    )
+
+
+@register(
+    "b_correlated_count_filter",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE (SELECT COUNT(*) FROM orders
+           WHERE o_custkey = c_custkey
+             AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00') >= 3
+    """,
+    survey_ref="§2 B3-adjacent correlated subquery (decorrelated to agg+join)",
+)
+def b_correlated_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with >= 3 orders in 1997. Written as the decorrelated form
+    (filter -> count-by-key -> semi join) — exactly what an optimizer
+    rewrites the correlated subquery into; no per-row subquery execution."""
+    cust = _t(spark, sf_dir, "customer")
+    orders97 = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    frequent = (
+        orders97.groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 3)
+    )
+    return cust.join(
+        frequent, cust.c_custkey == frequent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "b_cte_region_share",
+    oracle="""
+    WITH nation_rev AS (
+      SELECT n_name, n_regionkey,
+             SUM(o_totalprice) AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name, n_regionkey
+    ),
+    region_rev AS (
+      SELECT n_regionkey, SUM(rev) AS region_total FROM nation_rev GROUP BY 1
+    )
+    SELECT r_name, n_name,
+           ROUND(rev, 2) AS nation_revenue,
+           ROUND(rev / region_total, 4) AS region_share
+    FROM nation_rev
+    JOIN region_rev USING (n_regionkey)
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+    survey_ref="§2 B2/B5-adjacent CTE reuse (share-of-group)",
+)
+def b_cte_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH nation_rev AS (
+          SELECT n_name, n_regionkey, SUM(o_totalprice) AS rev
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          GROUP BY n_name, n_regionkey
+        ),
+        region_rev AS (
+          SELECT n_regionkey, SUM(rev) AS region_total
+          FROM nation_rev GROUP BY n_regionkey
+        )
+        SELECT r_name, n_name,
+               ROUND(rev, 2) AS nation_revenue,
+               ROUND(rev / region_total, 4) AS region_share
+        FROM nation_rev
+        JOIN region_rev USING (n_regionkey)
+        JOIN region ON n_regionkey = r_regionkey
+        """
+    )
