@@ -86,14 +86,23 @@ def ngram_jaccard_pairs(
 
     a = sh.select(F.col(id_col).alias("id1"), "shingle")
     b = sh.select(F.col(id_col).alias("id2"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id1") < F.col("id2"))
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("n_inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["id1", "id2"], "left_semi")
+        # Candidate-driven intersection: expand each candidate pair by id1's
+        # shingles, then equality-join id2's shingles — work proportional to
+        # |candidates| * avg shingles, not to all co-shingled pairs.
+        inter = (
+            candidates.join(a, "id1")
+            .join(b, ["id2", "shingle"])
+            .groupBy("id1", "id2")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id1") < F.col("id2"))
+            .groupBy("id1", "id2")
+            .agg(F.count("*").alias("n_inter"))
+        )
     s1 = sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))
     return (
