@@ -288,6 +288,84 @@ def simhash_near_dup_pairs(
 
 
 # --------------------------------------------------------------------------
+# Near-dup clustering: pairs -> connected components -> canonical survivor
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """(id, component) from an undirected edge list (id1, id2) by iterative
+    label propagation: every node repeatedly adopts the minimum label in its
+    neighborhood until a fixpoint. Converges in O(diameter) join rounds —
+    near-dup clusters are tiny (pairs/triples), so 2-3 rounds in practice;
+    each round is one shuffle join, no driver-side graph.
+    """
+    edges = (
+        pairs.select("id1", "id2")
+        .union(pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("id1").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.id2 == labels.id)
+            .groupBy(F.col("id1").alias("id"))
+            .agg(F.min("component").alias("neighbor_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("neighbor_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> DataFrame:
+    """The end-to-end near-dup *removal* operator: MinHash-LSH pairs ->
+    connected components -> keep the minimum id of each cluster. Returns the
+    surviving rows of ``df`` (every non-duplicate plus one canonical
+    representative per near-dup cluster) — the operation an LLM-data
+    pipeline actually ships."""
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, threshold=threshold, **lsh_kwargs
+    )
+    comps = connected_components(pairs)
+    keepers = comps.groupBy("component").agg(F.min("id").alias(id_col))
+    drop = comps.join(
+        keepers.select(F.col(id_col).alias("id")), "id", "left_anti"
+    ).select(F.col("id").alias(id_col))
+    return df.join(drop, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
 # Embedding cosine near-dup (random hyperplane LSH)
 # --------------------------------------------------------------------------
 

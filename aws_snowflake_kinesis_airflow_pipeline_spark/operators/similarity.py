@@ -67,6 +67,56 @@ def _bucket_of(query_vec: list[float], n_bits: int, dim: int, seed: int) -> int:
     return bucket
 
 
+def ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+):
+    """IVF (inverted-file) index: KMeans partitions the corpus into
+    ``n_clusters`` cells; a query probes only the cells whose centroids are
+    nearest. Returns (model, indexed_df) where indexed_df carries an
+    ``ivf_cluster`` column — at scale that column becomes the table's
+    partition key so probes become partition pruning.
+
+    Training cost is one pass over a sample; assignment is one pass total.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = df.withColumn(
+        "_v", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_v", predictionCol="ivf_cluster"
+    ).fit(with_vec)
+    return model, model.transform(with_vec).drop("_v")
+
+
+def ivf_topk(
+    model,
+    indexed: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """Probe the ``n_probe`` nearest IVF cells, exact cosine within them.
+    Scanned fraction ≈ n_probe / n_clusters."""
+    import math
+
+    q = list(map(float, query_vec))
+    dists = []
+    for i, c in enumerate(model.clusterCenters()):
+        d = math.sqrt(sum((a - b) ** 2 for a, b in zip(c, q)))
+        dists.append((d, i))
+    probes = [i for _, i in sorted(dists)[:n_probe]]
+    subset = indexed.filter(F.col("ivf_cluster").isin(probes))
+    return brute_force_topk(subset, vec_col, id_col, q, k, exclude_ids)
+
+
 def lsh_topk(
     df: DataFrame,
     vec_col: str,

@@ -168,6 +168,40 @@ def c7_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "c15_cosine_topk_ivf",
+    oracle=None,  # approximate (cell-probed subset); recall pinned in tests
+    survey_ref="§2 B12 IVF ANN (KMeans cells, probe n nearest — "
+    "scan fraction n_probe/n_clusters)",
+)
+def c15_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).first()["embedding"]
+    model, indexed = similarity.ivf_index(emb, "embedding", n_clusters=8)
+    return similarity.ivf_topk(
+        model,
+        indexed,
+        "embedding",
+        "vec_id",
+        list(qvec),
+        k=10,
+        n_probe=3,
+        exclude_ids=[_QUERY_VEC_ID],
+    )
+
+
+@register(
+    "c16_near_dup_dedup_survivors",
+    oracle=None,  # clustering over LSH pairs; pinned by planted-cluster tests
+    survey_ref="§2 B11 end-to-end near-dup removal "
+    "(LSH pairs → connected components → min-id survivor)",
+)
+def c16_near_dup_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    survivors = dedup.near_dup_dedup(docs, "doc_id", "text", threshold=0.8)
+    return survivors.select("doc_id", "lang").orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # Text analysis (B13 extended)
 # --------------------------------------------------------------------------

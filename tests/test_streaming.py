@@ -50,6 +50,33 @@ def test_landing_roundtrip_hive_partitioned_gzip(spark, dirs):
     assert dict(back.dtypes)["event_timestamp"] == "timestamp_ntz"
 
 
+def test_landing_stream_writer_partitioned_gzip(spark, tmp_path):
+    """K2: the Firehose role as a streaming query — events stream in, gzip
+    JSON lands hive-partitioned."""
+    src_path = str(tmp_path / "src")
+    landing = str(tmp_path / "landing_stream")
+    ckpt = str(tmp_path / "ckpt")
+    events = rate_events.event_batch(spark, 120)
+    events.write.mode("overwrite").parquet(src_path)
+    stream = spark.readStream.schema(events.schema).parquet(src_path)
+    q = (
+        json_landing.landing_stream_writer(stream, landing, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert any(d.startswith("year=") for d in os.listdir(landing))
+    back = json_landing.read_landing_batch(spark, landing).cache()
+    assert back.filter(F.col("_corrupt_record").isNull()).count() == 120
+    gz = [
+        f
+        for root, _, files in os.walk(landing)
+        for f in files
+        if f.endswith(".json.gz")
+    ]
+    assert gz, "landing files must be gzip JSON"
+
+
 def test_ingest_end_to_end_with_dedup_and_corrupt_rows(spark, dirs):
     landing, warehouse = dirs
     events = rate_events.event_batch(spark, 200)
