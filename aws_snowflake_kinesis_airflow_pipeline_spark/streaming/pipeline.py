@@ -117,12 +117,25 @@ class IngestPipeline:
             # 3. anti-join dedup append into events (J1/K5): at-least-once
             #    landing becomes exactly-once table content even if a batch
             #    retries after step-1 succeeded (defense-in-depth, O8).
+            #    Events land partitioned by event_date so date-ranged reads
+            #    (incl. the incremental summary below) prune partitions.
             target = self._read_events_table().select("event_id")
             to_insert = insert_dedup_anti_join(clean, target).cache()
             try:
                 n_insert = to_insert.count()
+                affected_dates = [
+                    r["d"]
+                    for r in to_insert.select(
+                        F.to_date("ts").alias("d")
+                    ).distinct().collect()
+                ]
                 if n_insert:
-                    to_insert.write.mode("append").parquet(self.events_path)
+                    (
+                        to_insert.withColumn("event_date", F.to_date("ts"))
+                        .write.mode("append")
+                        .partitionBy("event_date")
+                        .parquet(self.events_path)
+                    )
             finally:
                 to_insert.unpersist()
 
@@ -139,12 +152,14 @@ class IngestPipeline:
                     f"DQ gate: {n_dup} duplicate event_ids in events table"
                 )
 
-            # 5. summary refresh (K4 CTAS overwrite, hourly in reference).
-            daily_event_summary(
-                events.withColumnRenamed("event_timestamp", "ts")
-                if "event_timestamp" in events.columns
-                else events
-            ).write.mode("overwrite").parquet(self.summary_path)
+            # 5. summary refresh (K4) — incremental and idempotent: only the
+            #    dates touched by this batch are recomputed, from the events
+            #    *table* (so a retried batch reproduces the same rows instead
+            #    of double-counting), and the partition filter prunes the
+            #    date-partitioned events dir. The reference recomputes the
+            #    whole summary hourly; at 100 TB that full scan per batch is
+            #    the first thing to break.
+            self._refresh_summary(events, affected_dates)
 
             # 6. metrics (O4) + notification hook (O7).
             self.stats.batches += 1
@@ -161,6 +176,26 @@ class IngestPipeline:
             )
         finally:
             batch_df.unpersist()
+
+    def _refresh_summary(self, events: DataFrame, affected_dates) -> None:
+        if not affected_dates:
+            return  # nothing inserted -> summary already correct
+        new_part = daily_event_summary(
+            events.filter(F.to_date("ts").isin(affected_dates))
+        )
+        try:
+            # keep rows for untouched dates; materialize to the driver
+            # (the summary is dates x event-types — tiny) before the
+            # overwrite truncates the directory being read
+            old = self.summary_table()
+            kept_rows = old.filter(
+                ~F.col("event_date").isin(affected_dates)
+            ).collect()
+            kept = self.spark.createDataFrame(kept_rows, old.schema)
+            out = kept.union(new_part.select(*old.columns))
+        except Exception:
+            out = new_part  # first batch: no existing summary
+        out.write.mode("overwrite").parquet(self.summary_path)
 
     # -- query lifecycle --------------------------------------------------
 

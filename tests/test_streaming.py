@@ -138,6 +138,40 @@ def test_ingest_rerun_is_idempotent(spark, dirs):
     assert pipe3.stats.rows_inserted == 0
 
 
+def test_incremental_summary_across_batches(spark, dirs):
+    """Summary refresh recomputes only batch-touched dates but must equal a
+    full recomputation after multiple batches spanning overlapping dates."""
+    landing, warehouse = dirs
+    all_events = rate_events.event_batch(spark, 2000)  # spans >1 hour of days
+    day1 = all_events.limit(800)
+    json_landing.write_landing_batch(day1, landing)
+    pipe = IngestPipeline(spark, landing, warehouse)
+    pipe.run_once()
+
+    json_landing.write_landing_batch(all_events, landing)  # adds rest + replays
+    pipe2 = IngestPipeline(spark, landing, warehouse)
+    pipe2.run_once()
+
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.relational import (
+        daily_event_summary,
+    )
+
+    got = {
+        (r["event_date"], r["event_type"]): (
+            r["event_count"], r["first_event"], r["last_event"]
+        )
+        for r in pipe2.summary_table().collect()
+    }
+    want = {
+        (r["event_date"], r["event_type"]): (
+            r["event_count"], r["first_event"], r["last_event"]
+        )
+        for r in daily_event_summary(pipe2.events_table()).collect()
+    }
+    assert got == want
+    assert pipe2.events_table().count() == 2000
+
+
 def _streamable_events(spark, tmp_path, rows):
     """Write rows as parquet and reopen as a file-source stream."""
     path = str(tmp_path / "events_src")
