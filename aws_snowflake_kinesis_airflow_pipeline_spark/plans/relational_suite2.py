@@ -130,6 +130,83 @@ def b_correlated_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b_asof_join_last_view",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           v.event_id AS view_event_id,
+           v.value    AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    survey_ref="north-star as-of join (point-in-time enrichment; union+window "
+    "formulation, one shuffle, flat state)",
+)
+def b_asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase enriched with the user's latest at-or-before view event
+    — checked against DuckDB's native ASOF JOIN."""
+    from ..operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("value").alias("view_value"),
+    )
+    return asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="view_ts",
+        payload_cols=["view_event_id", "view_value"],
+    )
+
+
+@register(
+    "b_range_join_price_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('low', 0.0, 150000.0),
+             ('mid', 150000.0, 350000.0),
+             ('high', 350000.0, 1000000.0)
+    )
+    SELECT band, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+    survey_ref="north-star range (non-equi) join — broadcast-nested-loop "
+    "against a bounded band dim",
+)
+def b_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding via a range join. The band table is bounded by construction,
+    so the physical plan is a broadcast nested-loop — each fact row tests a
+    handful of ranges; no shuffle of the fact side, scales linearly."""
+    orders = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 150000.0), ("mid", 150000.0, 350000.0),
+         ("high", 350000.0, 1000000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
     "b_cte_region_share",
     oracle="""
     WITH nation_rev AS (

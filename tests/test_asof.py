@@ -1,0 +1,55 @@
+"""As-of join semantics on hand-built cases: before/at/after boundaries,
+no-match rows, multiple updates, inner mode."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from aws_snowflake_kinesis_airflow_pipeline_spark.operators.asof import asof_join
+
+
+def ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_join_boundaries(spark):
+    left = spark.createDataFrame(
+        [(1, ts(10), "a"), (1, ts(20), "b"), (2, ts(5), "c"), (3, ts(9), "d")],
+        "k long, lts timestamp_ntz, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts(10), 100.0),  # equal ts -> matches row 'a' (<=)
+            (1, ts(15), 150.0),  # latest before 'b'
+            (1, ts(25), 250.0),  # after everything -> never used
+            (2, ts(6), 60.0),  # after left's only row -> no match for 'c'
+        ],
+        "k long, rts timestamp_ntz, price double",
+    )
+    out = {
+        r["tag"]: r["price"]
+        for r in asof_join(
+            left, right, "k", "lts", "rts", ["price"]
+        ).collect()
+    }
+    assert out == {"a": 100.0, "b": 150.0, "c": None, "d": None}
+
+    inner = {
+        r["tag"]
+        for r in asof_join(
+            left, right, "k", "lts", "rts", ["price"], how="inner"
+        ).collect()
+    }
+    assert inner == {"a", "b"}
+
+
+def test_asof_join_carries_latest_not_first(spark):
+    left = spark.createDataFrame(
+        [(1, ts(30), "x")], "k long, lts timestamp_ntz, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(1), 1.0), (1, ts(2), 2.0), (1, ts(29), 29.0)],
+        "k long, rts timestamp_ntz, price double",
+    )
+    row = asof_join(left, right, "k", "lts", "rts", ["price"]).first()
+    assert row["price"] == 29.0
