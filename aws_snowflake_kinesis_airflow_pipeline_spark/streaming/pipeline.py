@@ -93,8 +93,19 @@ class IngestPipeline:
             n_seen = batch_df.count()
 
             # 1. append everything (incl. corrupt) to raw_data — the landing
-            #    table mirrors COPY INTO's keep-all behavior (K3/S3).
-            batch_df.write.mode("append").parquet(self.raw_path)
+            #    table mirrors COPY INTO's keep-all behavior (K3/S3), plus
+            #    the reference staging schema's lineage columns file_name /
+            #    load_timestamp (airflow/dags/snowflake_data_pipeline.py:76-90).
+            #    file_name comes from the source's _metadata column selected
+            #    in start() (input_file_name() is empty inside foreachBatch).
+            (
+                batch_df.withColumn(
+                    "load_timestamp",
+                    F.current_timestamp().cast("timestamp_ntz"),
+                )
+                .write.mode("append")
+                .parquet(self.raw_path)
+            )
 
             # 2. clean + transform: drop corrupt rows, enforce not-null keys,
             #    normalize column names to the engine's events schema.
@@ -103,7 +114,7 @@ class IngestPipeline:
             ).count()
             clean = (
                 batch_df.filter(F.col("_corrupt_record").isNull())
-                .drop("_corrupt_record")
+                .drop("_corrupt_record", "file_name")
                 .withColumnRenamed("event_timestamp", "ts")
             )
             for c in ("event_id", "ts", "event_type", "user_id"):
@@ -202,7 +213,7 @@ class IngestPipeline:
     def start(self, available_now: bool = True, max_files_per_trigger=None):
         stream = read_landing_stream(
             self.spark, self.landing_path, max_files_per_trigger
-        )
+        ).withColumn("file_name", F.col("_metadata.file_path"))
         writer = (
             stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", self.checkpoint)

@@ -96,9 +96,12 @@ def test_ingest_end_to_end_with_dedup_and_corrupt_rows(spark, dirs):
     assert ev.count() == 200  # 50 replayed dups dropped, corrupt+null-id dropped
     assert ev.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
     assert pipe.stats.corrupt_rows == 1  # the invalid-JSON line
-    # raw_data keeps everything incl. corrupt (COPY-like landing table)
+    # raw_data keeps everything incl. corrupt (COPY-like landing table),
+    # with lineage columns populated (staging-schema parity)
     raw = spark.read.parquet(pipe.raw_path)
     assert raw.count() == 252
+    assert raw.filter(F.col("file_name").contains(".json")).count() == 252
+    assert raw.filter(F.col("load_timestamp").isNull()).count() == 0
 
     # summary equals a batch recomputation over the deduped events table
     from aws_snowflake_kinesis_airflow_pipeline_spark.operators.relational import (
@@ -253,6 +256,54 @@ def test_session_stream_equals_batch_and_gaps_islands(spark, tmp_path):
     }
     assert {(s, u, n) for s, u, n in got} == gi
     assert len(gi) == 6  # 3 sessions x 2 users
+
+
+def test_stateful_running_totals_stream_equals_batch(spark, tmp_path):
+    """applyInPandasWithState custom operator: final per-user totals from the
+    stream must equal the batch aggregation."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.streaming import stateful
+
+    path = str(tmp_path / "ev_state")
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, BASE_TS),
+            (1, 5.5, BASE_TS + dt.timedelta(minutes=1)),
+            (2, 7.0, BASE_TS + dt.timedelta(minutes=2)),
+            (1, 2.5, BASE_TS + dt.timedelta(minutes=3)),
+        ],
+        "user_id long, value double, ts timestamp_ntz",
+    )
+    df.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    q = (
+        stateful.running_user_totals_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # latest emission per user == the running total after all input
+    import pyspark.sql.functions as SF
+
+    latest = (
+        spark.table("t_state")
+        .groupBy("user_id")
+        .agg(
+            SF.max("n_events").alias("n_events"),
+            SF.max("total_value").alias("total_value"),
+        )
+    )
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in latest.collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in stateful.running_user_totals_batch(df).collect()
+    }
+    assert got == want
 
 
 def test_dedup_within_watermark(spark, tmp_path):
