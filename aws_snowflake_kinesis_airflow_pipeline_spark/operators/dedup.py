@@ -67,6 +67,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
     index: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact word-k-gram Jaccard >= threshold pairs (id1 < id2).
 
@@ -80,9 +81,23 @@ def ngram_jaccard_pairs(
     to (the LSH path); None verifies all co-shingled pairs.
     ``index``: optional prebuilt (cached) shingle index to reuse across the
     signature and verification passes.
+    ``max_doc_freq``: the 100 TB blowup guard — drop shingles appearing in
+    more than this many documents from the *pairing* side (a shingle shared
+    by thousands of docs generates O(df^2) candidate pairs and carries no
+    dedup signal). Sizes still count every shingle, so capping only lowers
+    estimated Jaccard for pairs whose sole overlap is boilerplate — by
+    design. Default None preserves exact semantics (and oracle parity).
     """
     sh = index if index is not None else shingle_index(df, id_col, text_col, k).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
 
     a = sh.select(F.col(id_col).alias("id1"), "shingle")
     b = sh.select(F.col(id_col).alias("id2"), "shingle")

@@ -28,6 +28,24 @@ LANDING_SCHEMA = T.StructType(
     ]
 )
 
+#: The second DAG's extended staging shape (reference
+#: airflow/dags/snowflake_data_pipeline.py:76-90): device/app/os/ip/location
+#: VARCHARs + payload/raw VARIANTs. Schema-on-read: files missing these
+#: fields yield NULLs (COPY INTO VARIANT-projection behavior).
+EXTENDED_STAGING_SCHEMA = T.StructType(
+    list(LANDING_SCHEMA.fields[:-1])
+    + [
+        T.StructField("device_id", T.StringType(), True),
+        T.StructField("app_version", T.StringType(), True),
+        T.StructField("os_version", T.StringType(), True),
+        T.StructField("ip_address", T.StringType(), True),
+        T.StructField("location", T.StringType(), True),
+        T.StructField("payload", T.StringType(), True),  # VARIANT as JSON
+        T.StructField("raw_data", T.StringType(), True),  # VARIANT as JSON
+        T.StructField("_corrupt_record", T.StringType(), True),
+    ]
+)
+
 PARTITION_COLS = ("year", "month", "day", "hour")
 
 
@@ -75,13 +93,17 @@ def _parse(df: DataFrame) -> DataFrame:
     )
 
 
-def read_landing_batch(spark: SparkSession, path: str) -> DataFrame:
+def read_landing_batch(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
     """COPY INTO equivalent (S3): schema-on-read JSON with PERMISSIVE mode —
     ``ON_ERROR='CONTINUE'`` maps to corrupt rows landing in
     ``_corrupt_record`` instead of failing the load (reference
-    airflow/dags/snowflake_data_pipeline.py:100-110)."""
+    airflow/dags/snowflake_data_pipeline.py:100-110). Pass
+    ``EXTENDED_STAGING_SCHEMA`` for the second DAG's staging shape —
+    missing fields read as NULL."""
     df = (
-        spark.read.schema(LANDING_SCHEMA)
+        spark.read.schema(schema or LANDING_SCHEMA)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)

@@ -211,9 +211,15 @@ class IngestPipeline:
     # -- query lifecycle --------------------------------------------------
 
     def start(self, available_now: bool = True, max_files_per_trigger=None):
-        stream = read_landing_stream(
-            self.spark, self.landing_path, max_files_per_trigger
-        ).withColumn("file_name", F.col("_metadata.file_path"))
+        stream = (
+            read_landing_stream(
+                self.spark, self.landing_path, max_files_per_trigger
+            )
+            .withColumn("file_name", F.col("_metadata.file_path"))
+            # O4: the XCom records_processed metric as observe() — surfaces
+            # in StreamingQueryProgress.observedMetrics without an extra job.
+            .observe("ingest", F.count(F.lit(1)).alias("rows"))
+        )
         writer = (
             stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", self.checkpoint)
@@ -225,8 +231,10 @@ class IngestPipeline:
             writer = writer.trigger(processingTime="300 seconds")
         return writer.start()
 
-    def run_once(self) -> None:
+    def run_once(self):
         """Process everything currently in the landing zone, then stop —
-        the test/catch-up mode (Trigger.AvailableNow ↔ one DAG run)."""
+        the test/catch-up mode (Trigger.AvailableNow ↔ one DAG run).
+        Returns the terminated query (progress/observed metrics readable)."""
         q = self.start(available_now=True)
         q.awaitTermination()
+        return q

@@ -77,6 +77,36 @@ def test_minhash_matches_exact_jaccard_on_fixture(spark, sf_dir):
     assert lsh == exact
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """The max_doc_freq guard must keep genuinely-near-dup pairs (their
+    overlap is not boilerplate) while dropping hot shingles from pairing."""
+    docs = make_docs(spark)
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, max_doc_freq=3
+        ).collect()
+    }
+    assert (1, 4) in pairs and (1, 2) in pairs
+
+
+def test_extended_staging_schema_missing_fields_null(spark, tmp_path):
+    from aws_snowflake_kinesis_airflow_pipeline_spark.sources import (
+        json_landing,
+        rate_events,
+    )
+
+    landing = str(tmp_path / "landing_ext")
+    json_landing.write_landing_batch(rate_events.event_batch(spark, 20), landing)
+    ext = json_landing.read_landing_batch(
+        spark, landing, schema=json_landing.EXTENDED_STAGING_SCHEMA
+    ).cache()
+    assert ext.count() == 20
+    row = ext.first()
+    assert row["device_id"] is None and row["payload"] is None  # schema-on-read
+    assert row["event_id"] is not None
+
+
 def test_simhash_near_dups(spark):
     docs = make_docs(spark)
     sig = {

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 import gzip
+import json
 import os
 
 import pytest
@@ -90,7 +91,14 @@ def test_ingest_end_to_end_with_dedup_and_corrupt_rows(spark, dirs):
         f.write('{"event_timestamp": "2024-01-01T00:00:01", "event_type": "view", "user_id": "user_1"}\n')
 
     pipe = IngestPipeline(spark, landing, warehouse)
-    pipe.run_once()
+    q = pipe.run_once()
+    # O4: observe() metric surfaced in query progress
+    observed = [
+        p["observedMetrics"]["ingest"]["rows"]
+        for p in (json.loads(x.json) for x in q.recentProgress)
+        if p.get("observedMetrics", {}).get("ingest")
+    ]
+    assert sum(observed) == 252
 
     ev = pipe.events_table()
     assert ev.count() == 200  # 50 replayed dups dropped, corrupt+null-id dropped
