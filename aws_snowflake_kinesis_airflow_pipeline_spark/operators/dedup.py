@@ -320,12 +320,16 @@ def connected_components(
         pairs.select("id1", "id2")
         .union(pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2")))
         .distinct()
-        .cache()
+        # localCheckpoint truncates the (potentially deep) pair-generation
+        # lineage so each propagation round plans over a materialized edge
+        # list instead of replaying LSH candidate generation per iteration.
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("id1").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
+        .localCheckpoint()
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -342,7 +346,7 @@ def connected_components(
                     F.coalesce(F.col("neighbor_component"), F.col("component")),
                 ).alias("component"),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
