@@ -168,6 +168,43 @@ def b_asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q4_order_priority_checking",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+    survey_ref="§2 B3 correlated EXISTS with cross-table predicate "
+    "(TPC-H Q4 shape — semi join on a derived condition)",
+)
+def q4_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders in 1997Q1 with at least one lineitem shipped after the order
+    date. The correlated EXISTS becomes a left-semi join whose extra
+    condition rides the join predicate — one shuffle, no subquery loop."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
     "b_range_join_price_bands",
     oracle="""
     WITH bands(band, lo, hi) AS (

@@ -1,0 +1,62 @@
+"""Physical-plan invariants — the scale guarantees, asserted so regressions
+in plan shape fail CI, not a cluster: filters/columns push into parquet
+scans, bounded dims broadcast, top-k avoids global sorts."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_snowflake_kinesis_airflow_pipeline_spark.plans.registry import QUERIES
+
+
+def plan_of(spark, name, sf_dir):
+    df = QUERIES[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, "q1_pricing_summary", sf_dir)
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached the scan
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_orderkey" not in read  # unused columns pruned from the scan
+    assert "l_quantity" in read
+
+
+def test_b2_dims_broadcast(spark, sf_dir):
+    plan = plan_of(spark, "b2_multiway_join_revenue_by_nation", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2  # nation/region never shuffle
+    assert "EqualTo(r_name,ASIA)" in plan  # dim filter pushed into its scan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    assert "TakeOrderedAndProject" in plan_of(spark, "b4_topk_orders", sf_dir)
+    assert "TakeOrderedAndProject" in plan_of(
+        spark, "q3_shipping_priority", sf_dir
+    )
+
+
+def test_events_column_pruning_through_ns_normalization(spark, sf_dir):
+    """The catalog's ts-conversion projection must not defeat column
+    pruning: a query not touching ts reads only its own columns."""
+    from pyspark.sql import functions as F
+
+    from aws_snowflake_kinesis_airflow_pipeline_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "event_type" in read and "props" not in read and "ts" not in read
+
+
+def test_anti_join_is_join_not_subquery_scan(spark, sf_dir):
+    plan = plan_of(spark, "ref_insert_dedup_anti_join", sf_dir)
+    assert "LeftAnti" in plan

@@ -149,6 +149,54 @@ def test_ingest_rerun_is_idempotent(spark, dirs):
     assert pipe3.stats.rows_inserted == 0
 
 
+def test_dq_gate_failure_then_retry_from_checkpoint(spark, dirs):
+    """O2/O6: a batch failed by the DQ gate is NOT marked consumed — after
+    the operator fixes the violation, restarting the query from the same
+    checkpoint reprocesses the batch (Airflow retry semantics, but
+    transactional)."""
+    import pyspark.errors as perr
+
+    landing, warehouse = dirs
+    events = rate_events.event_batch(spark, 60)
+    json_landing.write_landing_batch(events, landing)
+
+    # poison the events table directly: pre-existing duplicate rows make the
+    # post-insert DQ check fire regardless of the batch's own dedup
+    poison = (
+        events.limit(5)
+        .withColumnRenamed("event_timestamp", "ts")
+        .drop("data")
+        .select("event_id", "ts", "event_type", "user_id")
+        .withColumn("event_date", F.to_date("ts"))
+    )
+    dup = poison.union(poison)
+    dup.write.mode("overwrite").partitionBy("event_date").parquet(
+        IngestPipeline(spark, landing, warehouse).events_path
+    )
+
+    pipe = IngestPipeline(spark, landing, warehouse)
+    try:
+        pipe.run_once()
+        raise AssertionError("DQ gate should have failed the query")
+    except perr.exceptions.captured.StreamingQueryException as e:
+        assert "DQ gate" in str(e)
+
+    # operator fixes the table (dedup) and retries with the SAME checkpoint
+    fixed = spark.read.parquet(pipe.events_path).dropDuplicates(["event_id"])
+    fixed_rows = fixed.collect()
+    spark.createDataFrame(fixed_rows, fixed.schema).write.mode(
+        "overwrite"
+    ).partitionBy("event_date").parquet(pipe.events_path)
+
+    pipe2 = IngestPipeline(spark, landing, warehouse)
+    pipe2.run_once()
+    ev = pipe2.events_table()
+    # the failed batch was reprocessed: all 60 events present (5 poisoned
+    # ids were already there, 55 inserted by the retried batch), no dups
+    assert ev.count() == 60
+    assert ev.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
+
+
 def test_incremental_summary_across_batches(spark, dirs):
     """Summary refresh recomputes only batch-touched dates but must equal a
     full recomputation after multiple batches spanning overlapping dates."""
