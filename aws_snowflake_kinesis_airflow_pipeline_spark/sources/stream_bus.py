@@ -1,0 +1,91 @@
+"""Message-bus source/sink surface — the reference's Kinesis data plane
+(keyed puts, shard reads) expressed through Spark's Kafka-protocol
+connector, which is also the idiomatic bridge to Kinesis (Kinesis Data
+Streams speaks the Kafka wire protocol via MSK/Kinesis-Kafka proxies, and
+spark-sql-kinesis exposes the same key/value frame).
+
+The connector jar isn't shipped in this container, so these builders are
+feature-detected: constructing a plan without the connector raises an
+actionable error instead of a bare ClassNotFoundException. The frame
+contract (key = partition key = user_id, value = JSON event — reference
+scripts/kinesis_data_producer.py:39-46) is exactly
+``rate_events.keyed_for_stream_sink``'s output, tested there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .json_landing import LANDING_SCHEMA
+
+_MISSING = (
+    "the Kafka connector (spark-sql-kafka-0-10) is not on this session's "
+    "classpath; add it via spark.jars.packages="
+    "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
+)
+
+
+class ConnectorUnavailable(RuntimeError):
+    pass
+
+
+def read_events_bus(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S1: the shard read. ``startingOffsets=earliest`` is TRIM_HORIZON,
+    ``latest`` is LATEST; per-trigger caps via ``maxOffsetsPerTrigger``
+    mirror get_records(Limit=...)."""
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as e:  # pragma: no cover - depends on classpath
+        raise ConnectorUnavailable(_MISSING) from e
+    event_schema = "struct<" + ",".join(
+        f"{f.name}:string" for f in LANDING_SCHEMA.fields
+        if f.name != "_corrupt_record"
+    ) + ">"
+    return raw.select(
+        F.col("key").cast("string").alias("partition_key"),
+        F.from_json(F.col("value").cast("string"), event_schema).alias("e"),
+    ).select(
+        "partition_key",
+        F.col("e.event_id").alias("event_id"),
+        F.to_timestamp("e.event_timestamp").cast("timestamp_ntz").alias(
+            "event_timestamp"
+        ),
+        F.col("e.event_type").alias("event_type"),
+        F.col("e.user_id").alias("user_id"),
+        F.col("e.data").alias("data"),
+    )
+
+
+def write_events_bus(
+    events: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+):
+    """K1: the keyed put. Key = user_id (the reference's PartitionKey), so
+    per-user ordering survives the bus exactly as Kinesis shards preserve
+    per-key order."""
+    from .rate_events import keyed_for_stream_sink
+
+    keyed = keyed_for_stream_sink(events)
+    try:
+        return (
+            keyed.writeStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("topic", topic)
+            .option("checkpointLocation", checkpoint)
+        )
+    except Exception as e:  # pragma: no cover - depends on classpath
+        raise ConnectorUnavailable(_MISSING) from e

@@ -1,0 +1,14 @@
+"""Message-bus surface: connector absence raises the actionable error (the
+frame contract itself — keyed JSON — is tested in test_streaming's
+generator-shape test)."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_snowflake_kinesis_airflow_pipeline_spark.sources import stream_bus
+
+
+def test_reader_raises_actionable_error_without_connector(spark):
+    with pytest.raises(stream_bus.ConnectorUnavailable, match="spark-sql-kafka"):
+        stream_bus.read_events_bus(spark, "localhost:9092", "events")
