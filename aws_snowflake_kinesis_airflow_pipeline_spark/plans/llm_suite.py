@@ -33,7 +33,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "c1_exact_dedup",
     oracle="""
-    SELECT text, MIN(doc_id) AS doc_id, MIN(lang) AS lang
+    SELECT text, MIN(doc_id) AS doc_id, ARG_MIN(lang, doc_id) AS lang
     FROM (
       SELECT doc_id, text, lang FROM documents
       UNION ALL

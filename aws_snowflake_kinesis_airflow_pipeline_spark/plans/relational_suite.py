@@ -567,7 +567,7 @@ def b8_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month,
            CAST(DATE_DIFF('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS BIGINT)
              AS days_before_2002,
-           ROUND(o_totalprice / 1000.0, 2) AS price_k,
+           ROUND(o_totalprice / 1000.0, 6) AS price_k,
            ABS(o_totalprice - 250000.0) AS dist_from_median,
            CASE WHEN o_totalprice > 400000 THEN 'big'
                 WHEN o_totalprice > 100000 THEN 'mid'
@@ -594,7 +594,11 @@ def b9_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("days_before_2002"),
-        F.round(F.col("o_totalprice") / 1000.0, 2).alias("price_k"),
+        # 6 dp: totalprice has <=2 decimals so /1000 has <=5 — rounding past
+        # the last digit never lands on a .5 boundary, where Spark (decimal
+        # HALF_UP on the shortest representation) and DuckDB (raw binary
+        # round) disagree. Surfaced at sf0.1 with values like 172805/1000.
+        F.round(F.col("o_totalprice") / 1000.0, 6).alias("price_k"),
         F.abs(F.col("o_totalprice") - 250000.0).alias("dist_from_median"),
         F.when(F.col("o_totalprice") > 400000, "big")
         .when(F.col("o_totalprice") > 100000, "mid")
