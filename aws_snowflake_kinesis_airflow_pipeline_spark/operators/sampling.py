@@ -1,0 +1,68 @@
+"""Deterministic splitting / sampling for training-data pipelines.
+
+`randomSplit`/`sample` are seed-dependent AND partitioning-dependent — the
+same row can land in different splits when the cluster layout changes,
+which silently leaks val data into train across reruns. These operators
+derive the split from a content hash instead: a row's assignment is a pure
+function of its key, reproducible on any cluster shape, any engine (md5 is
+everywhere — the DuckDB oracle checks it bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: Column | str, buckets: int = 1000) -> Column:
+    """Stable bucket in [0, buckets): first 8 hex chars of md5 -> int.
+
+    32-bit value — fits a long exactly; identical arithmetic in any engine.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    return h % buckets
+
+
+def with_split(
+    df: DataFrame,
+    key_col: str,
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.0,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Attach a 'split' column ('train'/'val'/'test') keyed on content hash.
+    Fractions are exact to 1/buckets granularity."""
+    b = hash_bucket(key_col, buckets)
+    val_hi = int(val_fraction * buckets)
+    test_hi = val_hi + int(test_fraction * buckets)
+    return df.withColumn(
+        "split",
+        F.when(b < val_hi, "val")
+        .when(b < test_hi, "test")
+        .otherwise("train"),
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, buckets: int = 10000
+) -> DataFrame:
+    """Keep ~fraction of rows, chosen by content hash — stable across runs,
+    partitionings, and engines (unlike df.sample)."""
+    return df.filter(hash_bucket(key_col, buckets) < int(fraction * buckets))
+
+
+def stratified_deterministic_sample(
+    df: DataFrame, key_col: str, stratum_col: str, fractions: dict[str, float],
+    buckets: int = 10000,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages): fraction chosen per stratum value, selection still pure
+    content hash."""
+    b = hash_bucket(key_col, buckets)
+    cond = None
+    for stratum, frac in fractions.items():
+        p = (F.col(stratum_col) == stratum) & (b < int(frac * buckets))
+        cond = p if cond is None else (cond | p)
+    other = ~F.col(stratum_col).isin(list(fractions))
+    return df.filter(cond | other)

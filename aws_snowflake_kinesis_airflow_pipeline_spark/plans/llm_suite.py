@@ -298,6 +298,33 @@ def c12_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "c17_train_val_split",
+    oracle="""
+    SELECT lang, split, COUNT(*) AS n
+    FROM (
+      SELECT lang,
+             CASE WHEN CAST(CONCAT('0x', SUBSTR(md5(CAST(text AS VARCHAR)), 1, 8))
+                       AS UBIGINT) % 1000 < 100
+                  THEN 'val' ELSE 'train' END AS split
+      FROM documents
+    )
+    GROUP BY lang, split
+    """,
+    survey_ref="north-star deterministic train/val split (content-hash "
+    "bucketing — stable across cluster shapes, unlike randomSplit)",
+)
+def c17_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import with_split
+
+    docs = _docs(spark, sf_dir)
+    return (
+        with_split(docs, "text", val_fraction=0.1)
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------

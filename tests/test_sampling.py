@@ -1,0 +1,60 @@
+"""Deterministic sampling/splitting: stability across repartitioning (the
+property randomSplit lacks), fraction accuracy, stratified behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_snowflake_kinesis_airflow_pipeline_spark.catalog import load_table
+from aws_snowflake_kinesis_airflow_pipeline_spark.operators import sampling
+
+
+def test_split_stable_across_partitioning(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {
+        (r["doc_id"], r["split"])
+        for r in sampling.with_split(docs, "text").select("doc_id", "split").collect()
+    }
+    b = {
+        (r["doc_id"], r["split"])
+        for r in sampling.with_split(docs.repartition(13), "text")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b  # same rows -> same split, regardless of layout
+
+
+def test_split_fractions_roughly_hold(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {
+        r["split"]: r["n"]
+        for r in sampling.with_split(docs, "text", val_fraction=0.2)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    assert 0.1 < counts.get("val", 0) / total < 0.3
+
+
+def test_deterministic_sample_idempotent(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = {r["doc_id"] for r in sampling.deterministic_sample(docs, "text", 0.3).collect()}
+    s2 = {r["doc_id"] for r in sampling.deterministic_sample(docs, "text", 0.3).collect()}
+    assert s1 == s2 and 0 < len(s1) < docs.count()
+    # a larger fraction strictly contains the smaller one (nested samples)
+    s_big = {r["doc_id"] for r in sampling.deterministic_sample(docs, "text", 0.6).collect()}
+    assert s1 <= s_big
+
+
+def test_stratified_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    before = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    out = sampling.stratified_deterministic_sample(
+        docs, "text", "lang", {"en": 0.2}
+    )
+    after = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert after["en"] < before["en"] * 0.5  # en downsampled
+    for lang in before:
+        if lang != "en":
+            assert after[lang] == before[lang]  # other strata untouched
