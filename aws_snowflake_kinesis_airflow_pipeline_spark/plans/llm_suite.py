@@ -325,6 +325,50 @@ def c17_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "c18_sequence_packing_stats",
+    oracle=None,  # partition-local first-fit-decreasing; pinned by tests
+    survey_ref="north-star sequence packing (token-budget bin packing, "
+    "partition-parallel FFD via mapInPandas)",
+)
+def c18_sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+    from ..operators.packing import pack_sequences
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", max_tokens=256)
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+@register(
+    "c19_corpus_mixing",
+    oracle=None,  # fractions derived from data-dependent counts; pinned by tests
+    survey_ref="north-star corpus mixing (weighted source proportions via "
+    "deterministic hash downsampling)",
+)
+def c19_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import mix_corpus
+
+    docs = _docs(spark, sf_dir)
+    mixed = mix_corpus(
+        docs, "text", "source", {"src0": 1.0, "src1": 1.0, "src2": 2.0}
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .orderBy("source")
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------
