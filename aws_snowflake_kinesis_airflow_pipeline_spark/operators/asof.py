@@ -40,21 +40,26 @@ def asof_join(
 
     left_dtypes = dict(left.dtypes)
     right_dtypes = dict(right.dtypes)
+    struct_type = (
+        "struct<" + ",".join(f"{c}:{right_dtypes[c]}" for c in payload_cols) + ">"
+    )
 
+    # The payload travels as ONE struct so the carried value is always a
+    # whole right row — per-column last(ignorenulls) would stitch together
+    # fields from different right rows whenever payload columns contain
+    # NULLs (a torn row that never existed).
     lhs = left.select(
         F.col(key),
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_is_left"),
-        *[
-            F.lit(None).cast(right_dtypes[c]).alias(c) for c in payload_cols
-        ],
+        F.lit(None).cast(struct_type).alias("_payload"),
         *[F.col(c) for c in left_other],
     )
     rhs = right.select(
         F.col(key),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_is_left"),
-        *[F.col(c) for c in payload_cols],
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_payload"),
         *[F.lit(None).cast(left_dtypes[c]).alias(c) for c in left_other],
     )
     unioned = lhs.union(rhs)
@@ -68,18 +73,14 @@ def asof_join(
     carried = unioned.select(
         F.col(key),
         F.col("_is_left"),
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
-            for c in payload_cols
-        ],
+        F.last(F.col("_payload"), ignorenulls=True).over(w).alias("_payload"),
         *[F.col(c) for c in left_other],
     )
-    out = carried.filter(F.col("_is_left") == 1).drop("_is_left")
-    out = out.select(key, *left_other, *payload_cols)
+    out = carried.filter(F.col("_is_left") == 1)
     if how == "inner":
-        cond = None
-        for c in payload_cols:
-            p = F.col(c).isNotNull()
-            cond = p if cond is None else (cond | p)
-        out = out.filter(cond)
-    return out
+        out = out.filter(F.col("_payload").isNotNull())
+    return out.select(
+        key,
+        *left_other,
+        *[F.col(f"_payload.{c}").alias(c) for c in payload_cols],
+    )

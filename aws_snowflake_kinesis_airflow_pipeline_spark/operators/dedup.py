@@ -266,11 +266,18 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= max_hamming.
 
-    Pigeonhole bucketing: split the 64-bit signature into 4 x 16-bit chunks;
-    any pair within Hamming 3 must agree exactly on >= 1 chunk, so an
-    equality join per chunk finds all such pairs without a cross product.
-    Verification = bit_count(xor) — exact, no false positives.
+    Pigeonhole bucketing: split the 64-bit signature into ``max_hamming+1``
+    chunks — a pair differing in <= max_hamming bits cannot differ in every
+    chunk, so it must agree exactly on >= 1, and an equality join per chunk
+    finds all such pairs without a cross product. (A fixed chunk count
+    would silently miss pairs once max_hamming >= n_chunks.) Verification
+    = bit_count(xor) — exact, no false positives.
     """
+    n_chunks = max_hamming + 1
+    base, extra = divmod(_SIMHASH_BITS, n_chunks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+
     sig = simhash_signatures(df, id_col, text_col)
     chunks = sig.select(
         id_col,
@@ -280,11 +287,11 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftrightunsigned(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), offsets[c])
+                        .bitwiseAND(F.lit((1 << widths[c]) - 1))
                         .alias("chunk_val"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("ch"),
@@ -321,13 +328,17 @@ def simhash_near_dup_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 20
+    pairs: DataFrame, max_iterations: int = 50
 ) -> DataFrame:
     """(id, component) from an undirected edge list (id1, id2) by iterative
     label propagation: every node repeatedly adopts the minimum label in its
     neighborhood until a fixpoint. Converges in O(diameter) join rounds —
     near-dup clusters are tiny (pairs/triples), so 2-3 rounds in practice;
     each round is one shuffle join, no driver-side graph.
+
+    Raises RuntimeError if the fixpoint isn't reached within
+    ``max_iterations`` (a silent truncation would split components and let
+    near-duplicates survive dedup unnoticed).
     """
     edges = (
         pairs.select("id1", "id2")
@@ -371,6 +382,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds (component diameter exceeds the bound); raise "
+            "max_iterations"
+        )
     return labels
 
 
@@ -411,13 +428,20 @@ def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
 
 def cosine_col(a, b) -> F.Column:
     """Cosine similarity between two array<double> columns — zip_with dot
-    product and aggregate norms, all JVM array expressions."""
+    product and aggregate norms, all JVM array expressions.
+
+    Zero-magnitude vectors (padding rows, failed embeds) yield NULL, not
+    NaN: Spark orders NaN *above* every number, so a NaN cosine would pass
+    ``>= threshold`` filters and rank first in top-k. NULL fails filters
+    and sorts last under ``desc()`` — the safe degradation.
+    """
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (na * nb)
+    denom = na * nb
+    return F.when(denom > 0, dot / denom)
 
 
 def hyperplane_bucket(vec_col, planes: list[list[float]]) -> F.Column:

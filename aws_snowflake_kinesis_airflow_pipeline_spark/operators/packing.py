@@ -117,10 +117,16 @@ def mix_corpus(
         for r in df.groupBy(source_col).agg(F.count("*").alias("n")).collect()
         if r[source_col] in weights
     }
+    # Weighted sources absent from the corpus contribute nothing and are
+    # skipped (honoring their weight literally would force an empty mix);
+    # config/data drift therefore degrades the mix instead of crashing it.
+    present = {s: w for s, w in weights.items() if s in counts and w > 0}
+    if not present:
+        return df.limit(0)
     # scale: the source with the smallest count/weight ratio binds
-    scale = min(counts[s] / w for s, w in weights.items() if w > 0)
+    scale = min(counts[s] / w for s, w in present.items())
     fractions = {
-        s: min((weights[s] * scale) / counts[s], 1.0) for s in counts
+        s: min((present[s] * scale) / counts[s], 1.0) for s in present
     }
     buckets = 100000
     b = hash_bucket(key_col, buckets)

@@ -476,7 +476,10 @@ def b7_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     b = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
-    return a.exceptAll(b).distinct()
+    # subtract() is SQL EXCEPT (set semantics): a row present in b is fully
+    # removed. exceptAll().distinct() would differ when a duplicated left
+    # row also appears in b (multiplicity arithmetic leaves survivors).
+    return a.subtract(b)
 
 
 @register(

@@ -66,18 +66,22 @@ class IngestPipeline:
 
     # -- table handles ----------------------------------------------------
 
-    def _read_events_table(self) -> DataFrame:
+    @staticmethod
+    def _is_path_missing(exc: Exception) -> bool:
+        """True only for 'table not created yet'. Anything else (transient
+        FS failure, torn file, permission) must propagate: swallowing it
+        here would hand the anti-join an empty dedup target and re-insert
+        the whole batch as duplicates."""
+        return "PATH_NOT_FOUND" in str(exc)
+
+    def _read_events_table(self) -> DataFrame | None:
+        """The events table, or None before the first successful insert."""
         try:
             return self.spark.read.parquet(self.events_path)
-        except Exception:
-            # first batch: empty target
-            from ..sources.json_landing import LANDING_SCHEMA
-
-            df = self.spark.createDataFrame([], LANDING_SCHEMA)
-            return df.withColumn(
-                "event_timestamp",
-                F.col("event_timestamp").cast("timestamp_ntz"),
-            ).withColumn("ts", F.col("event_timestamp")).drop("event_timestamp")
+        except Exception as exc:
+            if self._is_path_missing(exc):
+                return None
+            raise
 
     def events_table(self) -> DataFrame:
         return self.spark.read.parquet(self.events_path)
@@ -98,13 +102,16 @@ class IngestPipeline:
             #    load_timestamp (airflow/dags/snowflake_data_pipeline.py:76-90).
             #    file_name comes from the source's _metadata column selected
             #    in start() (input_file_name() is empty inside foreachBatch).
+            #    Written into a batch_id-keyed subdirectory with overwrite so
+            #    a replayed batch (foreachBatch is at-least-once) replaces
+            #    its own rows instead of appending a second copy.
             (
                 batch_df.withColumn(
                     "load_timestamp",
                     F.current_timestamp().cast("timestamp_ntz"),
                 )
-                .write.mode("append")
-                .parquet(self.raw_path)
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.raw_path, f"batch_id={batch_id}"))
             )
 
             # 2. clean + transform: drop corrupt rows, enforce not-null keys,
@@ -130,7 +137,12 @@ class IngestPipeline:
             #    retries after step-1 succeeded (defense-in-depth, O8).
             #    Events land partitioned by event_date so date-ranged reads
             #    (incl. the incremental summary below) prune partitions.
-            target = self._read_events_table().select("event_id")
+            existing = self._read_events_table()
+            target = (
+                existing.select("event_id")
+                if existing is not None
+                else clean.select("event_id").limit(0)
+            )
             to_insert = insert_dedup_anti_join(clean, target).cache()
             try:
                 n_insert = to_insert.count()
@@ -150,18 +162,25 @@ class IngestPipeline:
             finally:
                 to_insert.unpersist()
 
-            # 4. DQ gate (O6): duplicates / incomplete in the events table.
-            events = self.events_table()
-            n_dup = (
-                events.groupBy("event_id")
-                .agg(F.count("*").alias("n"))
-                .filter(F.col("n") > 1)
-                .count()
-            )
-            if self.fail_on_dq and n_dup > 0:
-                raise ValueError(
-                    f"DQ gate: {n_dup} duplicate event_ids in events table"
+            # 4. DQ gate (O6): duplicate event_ids. Scoped to the dates this
+            #    batch touched (partition-pruned) — the anti-join guarantees
+            #    inserted ids are new table-wide and the within-batch dedup
+            #    guarantees batch uniqueness, so any new duplicate must
+            #    involve a row in an affected partition; scanning the whole
+            #    accumulated table per batch would grow with table age.
+            events = self._read_events_table()
+            if events is not None and affected_dates:
+                n_dup = (
+                    events.filter(F.to_date("ts").isin(affected_dates))
+                    .groupBy("event_id")
+                    .agg(F.count("*").alias("n"))
+                    .filter(F.col("n") > 1)
+                    .count()
                 )
+                if self.fail_on_dq and n_dup > 0:
+                    raise ValueError(
+                        f"DQ gate: {n_dup} duplicate event_ids in events table"
+                    )
 
             # 5. summary refresh (K4) — incremental and idempotent: only the
             #    dates touched by this batch are recomputed, from the events
@@ -170,7 +189,8 @@ class IngestPipeline:
             #    date-partitioned events dir. The reference recomputes the
             #    whole summary hourly; at 100 TB that full scan per batch is
             #    the first thing to break.
-            self._refresh_summary(events, affected_dates)
+            if events is not None:
+                self._refresh_summary(events, affected_dates)
 
             # 6. metrics (O4) + notification hook (O7).
             self.stats.batches += 1
@@ -204,8 +224,13 @@ class IngestPipeline:
             ).collect()
             kept = self.spark.createDataFrame(kept_rows, old.schema)
             out = kept.union(new_part.select(*old.columns))
-        except Exception:
-            out = new_part  # first batch: no existing summary
+        except Exception as exc:
+            # Only "summary doesn't exist yet" may fall back to new_part —
+            # any other failure would overwrite the summary with just this
+            # batch's dates, silently deleting every untouched date's rows.
+            if not self._is_path_missing(exc):
+                raise
+            out = new_part
         out.write.mode("overwrite").parquet(self.summary_path)
 
     # -- query lifecycle --------------------------------------------------

@@ -43,6 +43,24 @@ def test_asof_join_boundaries(spark):
     assert inner == {"a", "b"}
 
 
+def test_asof_join_never_tears_rows(spark):
+    """Payloads with NULL fields must be carried as whole rows: the latest
+    right row wins for ALL payload columns, even its NULL fields —
+    per-column carry would stitch values from different right rows."""
+    left = spark.createDataFrame(
+        [(1, ts(10), "x")], "k long, lts timestamp_ntz, tag string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts(1), "e1", None),     # older: id set, value NULL
+            (1, ts(2), None, 5.0),      # latest: id NULL, value set
+        ],
+        "k long, rts timestamp_ntz, rid string, price double",
+    )
+    row = asof_join(left, right, "k", "lts", "rts", ["rid", "price"]).first()
+    assert row["rid"] is None and row["price"] == 5.0  # r2 whole, not r1+r2
+
+
 def test_asof_join_carries_latest_not_first(spark):
     left = spark.createDataFrame(
         [(1, ts(30), "x")], "k long, lts timestamp_ntz, tag string"

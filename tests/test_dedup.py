@@ -125,6 +125,48 @@ def test_simhash_near_dups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs and (3, 4) not in pairs
 
 
+def test_zero_vector_cosine_is_null_not_nan(spark):
+    """A zero-magnitude embedding must never surface as a near-dup (NaN
+    sorts above every number in Spark, so an unguarded 0/0 would pass any
+    >= threshold filter and top every ranking)."""
+    v = [1.0, 0.0] * 32
+    zero = [0.0] * 64
+    emb = spark.createDataFrame(
+        [(1, v), (2, v), (3, zero), (4, zero)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in dedup.embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.9
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_simhash_pigeonhole_holds_above_three(spark):
+    """max_hamming > 3 must still find every pair within the bound — the
+    chunk count has to scale with the bound (4 fixed chunks would miss a
+    pair with one differing bit in each chunk)."""
+    from pyspark.sql import functions as F
+
+    docs = make_docs(spark)
+    sig = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures(docs, "doc_id", "text").collect()
+    }
+    h12 = bin(sig[1] ^ sig[2]).count("1")
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in dedup.simhash_near_dup_pairs(
+            docs, "doc_id", "text", max_hamming=max(h12, 4)
+        ).collect()
+    }
+    assert (1, 2) in pairs  # found at its exact hamming distance
+    assert (1, 4) in pairs
+
+
 def test_embedding_near_dups_planted(spark):
     v = [1.0, 0.0, 0.5, 0.2] * 16  # dim 64
     v_near = list(v)

@@ -55,6 +55,18 @@ def test_oversized_doc_gets_singleton_pack(spark):
     assert packed[2]["pack_id"] != packed[1]["pack_id"]
 
 
+def test_mix_corpus_skips_absent_sources(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = packing.mix_corpus(
+        docs, "text", "source", {"src0": 1.0, "no_such_source": 1.0}
+    )
+    counts = {
+        r["source"]
+        for r in mixed.select("source").distinct().collect()
+    }
+    assert counts == {"src0"}  # absent source skipped, no KeyError
+
+
 def test_mix_corpus_hits_weights(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     mixed = packing.mix_corpus(
