@@ -168,6 +168,61 @@ def b_asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b8_percentiles",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS median_price,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4) AS p90_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    survey_ref="§2 B8-adjacent exact percentiles (interpolated quantiles)",
+)
+def b8_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias(
+                "median_price"
+            ),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias(
+                "p90_price"
+            ),
+        )
+    )
+
+
+@register(
+    "b8_stats_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+           ROUND(VAR_SAMP(l_discount), 6) AS var_disc,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS cov_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey_ref="§2 B8-adjacent statistical aggregates (stddev/var/corr/covar)",
+)
+def b8_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "cov_qty_price"
+        ),
+    )
+
+
+@register(
     "q4_order_priority_checking",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS order_count

@@ -61,6 +61,55 @@ def test_asof_join_never_tears_rows(spark):
     assert row["rid"] is None and row["price"] == 5.0  # r2 whole, not r1+r2
 
 
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property check against pandas' reference implementation on random
+    keyed series (seeded)."""
+    import random as rnd
+
+    import pandas as pd
+
+    rng = rnd.Random(42)
+    left_rows = [
+        (k, ts(rng.randrange(0, 59)), i)
+        for i, k in enumerate(rng.choices([1, 2, 3], k=40))
+    ]
+    right_rows = [
+        (k, ts(rng.randrange(0, 59)), float(i))
+        for i, k in enumerate(rng.choices([1, 2, 3], k=40))
+    ]
+    # merge_asof needs unique (key, ts) on the right for a deterministic
+    # answer; dedup keeping the last value like the engine's window does
+    rdf = (
+        pd.DataFrame(right_rows, columns=["k", "rts", "price"])
+        .sort_values(["rts", "price"])  # latest duplicate wins
+        .drop_duplicates(["k", "rts"], keep="last")
+    )
+    ldf = pd.DataFrame(left_rows, columns=["k", "lts", "tag"]).sort_values(
+        ["lts", "tag"]
+    )
+    expected = pd.merge_asof(
+        ldf, rdf, left_on="lts", right_on="rts", by="k", direction="backward"
+    )
+    want = {
+        (r.k, r.tag): (None if pd.isna(r.price) else r.price)
+        for r in expected.itertuples()
+    }
+
+    left = spark.createDataFrame(
+        [(k, t, tag) for k, t, tag in left_rows],
+        "k long, lts timestamp_ntz, tag long",
+    )
+    right = spark.createDataFrame(
+        [(int(r.k), r.rts.to_pydatetime(), r.price) for r in rdf.itertuples()],
+        "k long, rts timestamp_ntz, price double",
+    )
+    got = {
+        (r["k"], r["tag"]): r["price"]
+        for r in asof_join(left, right, "k", "lts", "rts", ["price"]).collect()
+    }
+    assert got == want
+
+
 def test_asof_join_carries_latest_not_first(spark):
     left = spark.createDataFrame(
         [(1, ts(30), "x")], "k long, lts timestamp_ntz, tag string"
