@@ -55,7 +55,10 @@ def asof_join(
         F.lit(None).cast(struct_type).alias("_payload"),
         *[F.col(c) for c in left_other],
     )
-    rhs = right.select(
+    # NULL-timestamp right rows can match nothing ('rts <= lts' is never
+    # true), but asc ordering puts NULLs FIRST — unfiltered they'd be
+    # carried as the payload for every left row. Drop them up front.
+    rhs = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(key),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_is_left"),

@@ -109,14 +109,22 @@ def duplicate_count(events: DataFrame) -> DataFrame:
     )
 
 
-def incomplete_count(events: DataFrame) -> DataFrame:
-    """DQ check #2: rows missing any required column (disjunctive NULL
-    predicate, reference airflow/dags/snowflake_data_pipeline.py:165-170)."""
+def incomplete_predicate() -> F.Column:
+    """Disjunctive NULL predicate over the required event columns
+    (reference airflow/dags/snowflake_data_pipeline.py:165-170) — shared by
+    every check so the required set can't drift between them."""
     pred = None
     for c in REQUIRED_EVENT_COLS:
         p = F.col(c).isNull()
         pred = p if pred is None else (pred | p)
-    return events.filter(pred).agg(F.count("*").alias("incomplete_count"))
+    return pred
+
+
+def incomplete_count(events: DataFrame) -> DataFrame:
+    """DQ check #2: rows missing any required column."""
+    return events.filter(incomplete_predicate()).agg(
+        F.count("*").alias("incomplete_count")
+    )
 
 
 def dq_gate(events: DataFrame) -> None:
@@ -126,13 +134,13 @@ def dq_gate(events: DataFrame) -> None:
     Single job: both counts computed in one pass via conditional aggregation
     rather than two separate actions.
     """
-    pred = None
-    for c in REQUIRED_EVENT_COLS:
-        p = F.col(c).isNull()
-        pred = p if pred is None else (pred | p)
     dup = duplicate_count(events)
     row = (
-        events.agg(F.sum(F.when(pred, 1).otherwise(0)).alias("incomplete"))
+        events.agg(
+            F.sum(F.when(incomplete_predicate(), 1).otherwise(0)).alias(
+                "incomplete"
+            )
+        )
         .crossJoin(dup)
         .first()
     )

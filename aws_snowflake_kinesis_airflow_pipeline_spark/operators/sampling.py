@@ -64,5 +64,9 @@ def stratified_deterministic_sample(
     for stratum, frac in fractions.items():
         p = (F.col(stratum_col) == stratum) & (b < int(frac * buckets))
         cond = p if cond is None else (cond | p)
-    other = ~F.col(stratum_col).isin(list(fractions))
+    # NULL strata behave like unlisted ones (kept whole): `~isin` alone
+    # evaluates NULL for NULL values and filter() would silently drop them.
+    other = F.col(stratum_col).isNull() | ~F.col(stratum_col).isin(
+        list(fractions)
+    )
     return df.filter(cond | other)

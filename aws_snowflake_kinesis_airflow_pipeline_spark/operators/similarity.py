@@ -135,16 +135,16 @@ def lsh_topk(
     Probed fraction ≈ sum_{h<=H} C(n_bits,h) / 2^n_bits (e.g. 9/256 at
     8 bits, H=1) — the scan-cost knob. Recall rises with more probes.
     """
+    from itertools import combinations
+
     qb = _bucket_of(query_vec, n_bits, dim, seed)
     probes = [qb]
-    if probe_hamming >= 1:
-        probes += [qb ^ (1 << i) for i in range(n_bits)]
-    if probe_hamming >= 2:
-        probes += [
-            qb ^ (1 << i) ^ (1 << j)
-            for i in range(n_bits)
-            for j in range(i + 1, n_bits)
-        ]
+    for h in range(1, probe_hamming + 1):
+        for bits in combinations(range(n_bits), h):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            probes.append(qb ^ flip)
     bucketed = with_lsh_buckets(df, vec_col, n_bits, dim, seed)
     subset = bucketed.filter(F.col("lsh_bucket").isin(probes))
     return brute_force_topk(subset, vec_col, id_col, query_vec, k, exclude_ids)

@@ -46,12 +46,21 @@ def salted_distinct_count_by_key(
     """
     salt = F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(n_salts)).alias("_salt")
     per_shard = (
-        df.select(F.col(key), F.col(distinct_col), salt)
+        # COUNT(DISTINCT x) ignores NULLs; without this filter a NULL value
+        # would survive distinct() and count as one extra per key.
+        df.filter(F.col(distinct_col).isNotNull())
+        .select(F.col(key), F.col(distinct_col), salt)
         .distinct()
         .groupBy(key, "_salt")
         .agg(F.count("*").alias("_d"))
     )
-    return per_shard.groupBy(key).agg(F.sum("_d").alias("n_distinct"))
+    per_key = per_shard.groupBy(key).agg(F.sum("_d").alias("n_distinct"))
+    # keys whose values are all NULL must still appear (with 0), exactly as
+    # groupBy().agg(countDistinct) reports them
+    all_keys = df.select(key).distinct()
+    return all_keys.join(per_key, key, "left").select(
+        key, F.coalesce("n_distinct", F.lit(0)).alias("n_distinct")
+    )
 
 
 def salted_inner_join(

@@ -30,6 +30,19 @@ class ConnectorUnavailable(RuntimeError):
     pass
 
 
+def _ensure_connector(spark: SparkSession) -> None:
+    """Raise ConnectorUnavailable unless the Kafka provider class is on the
+    JVM classpath. Builder methods alone never touch the classpath, so
+    without this probe a missing connector surfaces only at .start() as a
+    bare ClassNotFoundException."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+    except Exception as e:
+        raise ConnectorUnavailable(_MISSING) from e
+
+
 def read_events_bus(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -39,16 +52,14 @@ def read_events_bus(
     """S1: the shard read. ``startingOffsets=earliest`` is TRIM_HORIZON,
     ``latest`` is LATEST; per-trigger caps via ``maxOffsetsPerTrigger``
     mirror get_records(Limit=...)."""
-    try:
-        raw = (
-            spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", bootstrap_servers)
-            .option("subscribe", topic)
-            .option("startingOffsets", starting_offsets)
-            .load()
-        )
-    except Exception as e:  # pragma: no cover - depends on classpath
-        raise ConnectorUnavailable(_MISSING) from e
+    _ensure_connector(spark)
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
     event_schema = "struct<" + ",".join(
         f"{f.name}:string" for f in LANDING_SCHEMA.fields
         if f.name != "_corrupt_record"
@@ -79,13 +90,11 @@ def write_events_bus(
     per-key order."""
     from .rate_events import keyed_for_stream_sink
 
+    _ensure_connector(events.sparkSession)
     keyed = keyed_for_stream_sink(events)
-    try:
-        return (
-            keyed.writeStream.format("kafka")
-            .option("kafka.bootstrap.servers", bootstrap_servers)
-            .option("topic", topic)
-            .option("checkpointLocation", checkpoint)
-        )
-    except Exception as e:  # pragma: no cover - depends on classpath
-        raise ConnectorUnavailable(_MISSING) from e
+    return (
+        keyed.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )

@@ -124,7 +124,7 @@ class IngestPipeline:
                 .drop("_corrupt_record", "file_name")
                 .withColumnRenamed("event_timestamp", "ts")
             )
-            for c in ("event_id", "ts", "event_type", "user_id"):
+            for c in REQUIRED_EVENT_COLS:
                 clean = clean.filter(F.col(c).isNotNull())
             # Within-batch dedup: the reference's NOT-IN only guards against
             # rows already in the target, so a replay landing in the same
@@ -146,9 +146,14 @@ class IngestPipeline:
             to_insert = insert_dedup_anti_join(clean, target).cache()
             try:
                 n_insert = to_insert.count()
+                # affected dates come from the BATCH (clean), not from
+                # to_insert: on an at-least-once replay the anti-join strips
+                # already-inserted rows, and deriving dates from to_insert
+                # would skip the summary refresh + DQ re-check for exactly
+                # the dates the interrupted attempt wrote.
                 affected_dates = [
                     r["d"]
-                    for r in to_insert.select(
+                    for r in clean.select(
                         F.to_date("ts").alias("d")
                     ).distinct().collect()
                 ]
@@ -171,7 +176,11 @@ class IngestPipeline:
             events = self._read_events_table()
             if events is not None and affected_dates:
                 n_dup = (
-                    events.filter(F.to_date("ts").isin(affected_dates))
+                    # filter on the PARTITION column (event_date), not
+                    # to_date(ts): Catalyst can't derive the partition from
+                    # an expression over a data column, so the ts form would
+                    # scan the whole table and the pruning claim were false
+                    events.filter(F.col("event_date").isin(affected_dates))
                     .groupBy("event_id")
                     .agg(F.count("*").alias("n"))
                     .filter(F.col("n") > 1)
@@ -212,7 +221,7 @@ class IngestPipeline:
         if not affected_dates:
             return  # nothing inserted -> summary already correct
         new_part = daily_event_summary(
-            events.filter(F.to_date("ts").isin(affected_dates))
+            events.filter(F.col("event_date").isin(affected_dates))
         )
         try:
             # keep rows for untouched dates; materialize to the driver

@@ -124,6 +124,9 @@ def batch_sessions_gaps_and_islands(
     epoch = F.col(ts_col).cast("timestamp").cast("long")
     with_flag = events.withColumn(
         "new_session",
+        # strict '>': session_window's end (last event + gap) is INCLUSIVE —
+        # an event at exactly prev+gap merges into the session (verified
+        # empirically against session_window in the boundary test).
         F.when(epoch - F.lag(epoch).over(w) > gap_expr, 1)
         .otherwise(0)
         .cast("long"),

@@ -61,6 +61,20 @@ def test_asof_join_never_tears_rows(spark):
     assert row["rid"] is None and row["price"] == 5.0  # r2 whole, not r1+r2
 
 
+def test_asof_join_ignores_null_right_timestamps(spark):
+    """A right row with NULL ts matches nothing (its 'rts <= lts' is never
+    true) — unfiltered it would sort nulls-first and be carried into every
+    left row."""
+    left = spark.createDataFrame(
+        [(1, ts(10), "x")], "k long, lts timestamp_ntz, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 9.0)], "k long, rts timestamp_ntz, price double"
+    )
+    row = asof_join(left, right, "k", "lts", "rts", ["price"]).first()
+    assert row["price"] is None
+
+
 def test_asof_join_matches_pandas_merge_asof(spark):
     """Property check against pandas' reference implementation on random
     keyed series (seeded)."""

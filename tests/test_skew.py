@@ -41,6 +41,22 @@ def test_salted_distinct_count_matches_plain(spark):
     assert salted["hot"] == 50
 
 
+def test_salted_distinct_count_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [("k1", None), ("k1", None), ("k1", 1), ("k2", None)],
+        "k string, v int",
+    )
+    plain = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    salted = {
+        r["k"]: r["n_distinct"]
+        for r in skew.salted_distinct_count_by_key(df, "k", "v").collect()
+    }
+    assert salted == plain == {"k1": 1, "k2": 0}
+
+
 def test_salted_join_matches_plain(spark):
     left = skewed_df(spark)
     right = spark.createDataFrame(

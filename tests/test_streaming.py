@@ -362,6 +362,32 @@ def test_stateful_running_totals_stream_equals_batch(spark, tmp_path):
     assert got == want
 
 
+def test_session_boundary_exactly_at_gap(spark, tmp_path):
+    """An event exactly gap minutes after the previous one MERGES into the
+    session (session_window's last+gap end is inclusive — verified
+    empirically); the gaps-and-islands twin must merge identically, and one
+    second past the gap must split in both."""
+    at_gap = [
+        (1, BASE_TS, 1, "view"),
+        (2, BASE_TS + dt.timedelta(minutes=30), 1, "view"),  # == gap
+    ]
+    past_gap = [
+        (3, BASE_TS, 2, "view"),
+        (4, BASE_TS + dt.timedelta(minutes=30, seconds=1), 2, "view"),
+    ]
+    batch_df, _ = _streamable_events(spark, tmp_path, at_gap + past_gap)
+    sw = W.session_counts(batch_df, streaming=False).collect()
+    gi = W.batch_sessions_gaps_and_islands(batch_df).collect()
+    sw_by_user = {}
+    for r in sw:
+        sw_by_user.setdefault(r["user_id"], []).append(r["n"])
+    gi_by_user = {}
+    for r in gi:
+        gi_by_user.setdefault(r["user_id"], []).append(r["n"])
+    assert sw_by_user[1] == [2] == gi_by_user[1]  # merged at exactly gap
+    assert sorted(sw_by_user[2]) == [1, 1] == sorted(gi_by_user[2])  # split
+
+
 def test_dedup_within_watermark(spark, tmp_path):
     rows = [
         (1, BASE_TS, 1, "view"),
