@@ -288,7 +288,19 @@ def c11_lang_id_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c12_quality_scores",
-    oracle=None,  # composite heuristic; components oracle-checked in c10
+    oracle="""
+    SELECT doc_id,
+           ROUND(
+             0.4 * LEAST(LENGTH(text) / 200.0, 1.0)
+           + 0.3 * (1.0 - LEAST(((LENGTH(text)
+                 - LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                 * 1.0 / GREATEST(LENGTH(text), 1)) * 5.0, 1.0))
+           + 0.3 * (CASE WHEN (LENGTH(REPLACE(text, ' ', '')) * 1.0
+                     / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1))
+                     BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END),
+           4) AS quality
+    FROM documents
+    """,
     survey_ref="§2 B13 composite quality score",
 )
 def c12_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
