@@ -47,7 +47,10 @@ _FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("n_bytes", T.LongType(), True),
-        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        # double, not float32: the sha-derived values carry ~10 significant
+        # digits and the oracle compares them after rounding — float32
+        # storage shifts the 4th decimal on some values
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
     ]
 )
 

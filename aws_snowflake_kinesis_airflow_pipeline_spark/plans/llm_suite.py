@@ -273,8 +273,37 @@ def c10_quality_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c11_lang_id_histogram",
-    oracle=None,  # heuristic marker-word argmax; pinned by unit tests instead
-    survey_ref="§2 B13 language-ID heuristic histogram",
+    oracle="""
+    WITH scored AS (
+      SELECT
+        LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+            x -> LIST_CONTAINS(['the','and','of','to','is','in','that','it',
+                                'for','with'], x))) AS s_en,
+        LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+            x -> LIST_CONTAINS(['der','die','das','und','ist','nicht','ein',
+                                'mit','für','von'], x))) AS s_de,
+        LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+            x -> LIST_CONTAINS(['el','la','los','las','es','en','que','por',
+                                'con','una'], x))) AS s_es,
+        LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+            x -> LIST_CONTAINS(['le','la','les','est','et','dans','que',
+                                'pour','une','avec'], x))) AS s_fr,
+        REGEXP_MATCHES(text, '[一-鿿]') AS has_cjk
+      FROM documents
+    )
+    SELECT pred_lang, COUNT(*) AS n FROM (
+      SELECT CASE WHEN has_cjk THEN 'zh'
+                  WHEN GREATEST(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                  WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr) THEN 'en'
+                  WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr) THEN 'de'
+                  WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM scored
+    )
+    GROUP BY pred_lang
+    """,
+    survey_ref="§2 B13 language-ID heuristic histogram (marker-word argmax, "
+    "ties resolved in en>de>es>fr order on both engines)",
 )
 def c11_lang_id_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
@@ -363,9 +392,27 @@ def c18_sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c19_corpus_mixing",
-    oracle=None,  # fractions derived from data-dependent counts; pinned by tests
+    oracle="""
+    WITH w(source, wt) AS (VALUES ('src0', 1.0), ('src1', 1.0), ('src2', 2.0)),
+    counts AS (
+      SELECT source, COUNT(*) AS n
+      FROM documents JOIN w USING (source) GROUP BY source
+    ),
+    scale AS (SELECT MIN(n / wt) AS s FROM counts JOIN w USING (source)),
+    fracs AS (
+      SELECT source, LEAST(wt * s / n, 1.0) AS frac
+      FROM counts JOIN w USING (source) CROSS JOIN scale
+    )
+    SELECT source, COUNT(*) AS n
+    FROM documents d JOIN fracs USING (source)
+    WHERE CAST(CONCAT('0x', SUBSTR(md5(CAST(d.text AS VARCHAR)), 1, 8))
+               AS UBIGINT) % 100000
+          < CAST(FLOOR(frac * 100000) AS UBIGINT)
+    GROUP BY source
+    """,
     survey_ref="north-star corpus mixing (weighted source proportions via "
-    "deterministic hash downsampling)",
+    "deterministic hash downsampling — binding-source scale + hash "
+    "selection reproduced in SQL)",
 )
 def c19_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.packing import mix_corpus
@@ -424,8 +471,16 @@ def b17_pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c14_media_features",
-    oracle=None,  # mapInPandas kernel (sha-derived fake features)
-    survey_ref="north-star multimodal: Arrow-batched feature extraction",
+    oracle="""
+    SELECT doc_id AS media_id,
+           OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+           ROUND(CAST(CONCAT('0x', SUBSTR(sha256(text), 1, 8)) AS UBIGINT)
+                 / 4294967296.0, 4) AS f0
+    FROM documents
+    """,
+    survey_ref="north-star multimodal: Arrow-batched feature extraction "
+    "(sha-derived kernel — the oracle validates the full mapInPandas "
+    "Arrow roundtrip bit-for-bit)",
 )
 def c14_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.documents_as_media(_docs(spark, sf_dir))
@@ -433,5 +488,7 @@ def c14_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id",
         "n_bytes",
-        F.round(F.element_at("feature", 1), 4).alias("f0"),
+        # element_at returns float32; cast before rounding so the value
+        # agrees with the oracle's double arithmetic
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
     ).orderBy("media_id")

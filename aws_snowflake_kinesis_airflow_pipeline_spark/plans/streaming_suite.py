@@ -91,8 +91,31 @@ def s3_session_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s4_session_window_counts",
-    oracle=None,  # session_window merge semantics pinned by stream==batch test
-    survey_ref="§2 B15 session_window operator (batch form)",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - LAG(epoch(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    ids AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flags
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           user_id,
+           COUNT(*) AS n
+    FROM ids
+    GROUP BY user_id, session_id
+    """,
+    survey_ref="§2 B15 session_window operator (oracle: gaps-and-islands "
+    "with last+gap inclusive-end semantics)",
 )
 def s4_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.session_counts(_events(spark, sf_dir), streaming=False).orderBy(
