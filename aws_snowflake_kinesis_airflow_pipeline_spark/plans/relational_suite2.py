@@ -168,6 +168,57 @@ def b_asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b6_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    survey_ref="§2 B6 explicit GROUPING SETS (beyond rollup/cube)",
+)
+def b6_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "b_agg_collect_sorted",
+    oracle="""
+    SELECT r_name,
+           ARRAY_TO_STRING(LIST_SORT(LIST(n_name)), ',') AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    survey_ref="§2 B8-adjacent collection aggregate (collect_list, "
+    "order-normalized for cross-engine determinism)",
+)
+def b_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list has nondeterministic order by contract — sort_array +
+    join makes the output comparable across engines and runs."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+                "nations"
+            )
+        )
+    )
+
+
+@register(
     "b8_percentiles",
     oracle="""
     SELECT c_mktsegment,
