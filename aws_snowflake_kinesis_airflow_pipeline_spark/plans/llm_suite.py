@@ -297,7 +297,8 @@ def c10_quality_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr) THEN 'en'
                   WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr) THEN 'de'
                   WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr) THEN 'es'
-                  ELSE 'fr' END AS pred_lang
+                  WHEN s_fr = GREATEST(s_en, s_de, s_es, s_fr) THEN 'fr'
+                  ELSE 'und' END AS pred_lang -- NULL text falls to 'und' like Spark
       FROM scored
     )
     GROUP BY pred_lang
@@ -473,14 +474,14 @@ def b17_pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c14_media_features",
     oracle="""
     SELECT doc_id AS media_id,
-           OCTET_LENGTH(ENCODE(text)) AS n_bytes,
-           ROUND(CAST(CONCAT('0x', SUBSTR(sha256(text), 1, 8)) AS UBIGINT)
-                 / 4294967296.0, 4) AS f0
+           OCTET_LENGTH(ENCODE(COALESCE(text, ''))) AS n_bytes,
+           ROUND(CAST(CONCAT('0x', SUBSTR(sha256(COALESCE(text, '')), 1, 8))
+                      AS UBIGINT) / 4294967296.0, 4) AS f0
     FROM documents
     """,
     survey_ref="north-star multimodal: Arrow-batched feature extraction "
-    "(sha-derived kernel — the oracle validates the full mapInPandas "
-    "Arrow roundtrip bit-for-bit)",
+    "(sha-derived kernel — the oracle recomputes n_bytes and the first "
+    "feature dimension in SQL against the mapInPandas output)",
 )
 def c14_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.documents_as_media(_docs(spark, sf_dir))
@@ -488,7 +489,5 @@ def c14_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id",
         "n_bytes",
-        # element_at returns float32; cast before rounding so the value
-        # agrees with the oracle's double arithmetic
-        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
     ).orderBy("media_id")
