@@ -17,5 +17,9 @@ from pyspark.sql import types as T
 
 @F.pandas_udf(T.IntegerType())
 def pd_token_count(texts: pd.Series) -> pd.Series:
-    """Vectorized whitespace token count (one Arrow batch per call)."""
-    return texts.str.split(" ").str.len().astype("int32")
+    """Vectorized whitespace token count (one Arrow batch per call).
+
+    Nullable Int32: a NULL text maps to NULL out (matching the SQL
+    equivalent) — .astype('int32') would raise on the NaN that
+    .str.split(None) produces."""
+    return texts.str.split(" ").str.len().astype("Int32")

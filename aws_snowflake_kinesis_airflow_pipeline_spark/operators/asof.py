@@ -67,10 +67,15 @@ def asof_join(
     )
     unioned = lhs.union(rhs)
 
-    # right rows sort before left rows at equal timestamps so '<=' holds
+    # Right rows sort before left rows at equal timestamps so '<=' holds.
+    # _payload as the final key makes the carried row deterministic when two
+    # right rows tie on (key, timestamp): struct ordering is field-wise, so
+    # last() always carries the max payload struct instead of whichever row
+    # the shuffle happened to order last. (Left rows all have NULL payload —
+    # their relative order is irrelevant to last(ignorenulls).)
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_t"), F.col("_is_left"))
+        .orderBy(F.col("_t"), F.col("_is_left"), F.col("_payload").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

@@ -36,11 +36,27 @@ from ..functions.text import tokens, word_shingles
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """One row per distinct ``key_cols`` value, keeping the minimum ``id_col``
     as the deterministic representative (dropDuplicates picks an arbitrary
-    row — unacceptable for reproducible pipelines)."""
+    row — unacceptable for reproducible pipelines).
+
+    Groups by a 128-bit content fingerprint (md5 of the null-safe
+    JSON-encoded key struct) instead of the raw key columns, so at 100 TB
+    the exchange hashes/compares a 32-byte key rather than full document
+    bodies. The key columns themselves ride along as ``min_by`` aggregates
+    (every value in a group is identical modulo md5 collision, which at
+    128 bits is below hardware-error probability).
+    """
     others = [c for c in df.columns if c not in key_cols and c != id_col]
-    w_min = F.min(id_col).alias(id_col)
-    firsts = [F.min_by(c, id_col).alias(c) for c in others]
-    return df.groupBy(*key_cols).agg(w_min, *firsts)
+    fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in key_cols])))
+    return (
+        df.withColumn("_key_fp", fp)
+        .groupBy("_key_fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            *[F.min_by(c, id_col).alias(c) for c in key_cols],
+            *[F.min_by(c, id_col).alias(c) for c in others],
+        )
+        .select(*key_cols, id_col, *others)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -88,7 +104,16 @@ def ngram_jaccard_pairs(
     estimated Jaccard for pairs whose sole overlap is boilerplate — by
     design. Default None preserves exact semantics (and oracle parity).
     """
-    sh = index if index is not None else shingle_index(df, id_col, text_col, k).cache()
+    # localCheckpoint (not cache): materializes the index once for the
+    # sizes + pairing + verification passes, truncates lineage, and is
+    # released by the ContextCleaner when the result is GC'd — repeated
+    # suite runs in one session don't accumulate cache entries (cache()
+    # here re-registered an identical plan every call and warned).
+    sh = (
+        index
+        if index is not None
+        else shingle_index(df, id_col, text_col, k).localCheckpoint()
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     if max_doc_freq is not None:
         hot = (
@@ -186,7 +211,10 @@ def minhash_lsh_pairs(
     then verified with exact Jaccard so false positives never escape.
     """
     rows = num_hashes // bands
-    sh = shingle_index(df, id_col, text_col, k).cache()
+    # Shared by the signature pass and the exact-Jaccard verification pass;
+    # localCheckpoint materializes it once without polluting the session
+    # cache (see ngram_jaccard_pairs).
+    sh = shingle_index(df, id_col, text_col, k).localCheckpoint()
     sig = minhash_signatures(df, id_col, text_col, num_hashes, k, index=sh)
     band_structs = [
         F.struct(

@@ -72,6 +72,7 @@ def ivf_index(
     vec_col: str,
     n_clusters: int = 16,
     seed: int = 42,
+    max_fit_rows: int = 100_000,
 ):
     """IVF (inverted-file) index: KMeans partitions the corpus into
     ``n_clusters`` cells; a query probes only the cells whose centroids are
@@ -79,7 +80,10 @@ def ivf_index(
     ``ivf_cluster`` column — at scale that column becomes the table's
     partition key so probes become partition pruning.
 
-    Training cost is one pass over a sample; assignment is one pass total.
+    KMeans is fit on a deterministic sample of at most ``max_fit_rows``
+    rows (centroids converge on a sample; fitting the full corpus would
+    make every KMeans iteration a full-data pass at 100 TB). Assignment is
+    one pass over the full data.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -87,9 +91,15 @@ def ivf_index(
     with_vec = df.withColumn(
         "_v", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
+    n = with_vec.count()
+    fit_df = (
+        with_vec
+        if n <= max_fit_rows
+        else with_vec.sample(fraction=max_fit_rows / n, seed=seed)
+    )
     model = KMeans(
         k=n_clusters, seed=seed, featuresCol="_v", predictionCol="ivf_cluster"
-    ).fit(with_vec)
+    ).fit(fit_df)
     return model, model.transform(with_vec).drop("_v")
 
 

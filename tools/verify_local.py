@@ -33,7 +33,9 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def normalize(rows, colnames):
-    """Sort columns by name, then rows; round floats for stable compare."""
+    """Sort columns by name, then rows; round floats only for stable sort
+    keys — value equality itself is checked with math.isclose (see
+    rows_equal), not round-then-compare."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
 
     def norm_cell(v):
@@ -43,9 +45,26 @@ def normalize(rows, colnames):
             return round(v, 6)
         return v
 
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    out = [tuple(r[i] for i in order) for r in rows]
+    out.sort(
+        key=lambda t: tuple((x is None, str(norm_cell(x))) for x in t)
+    )
     return out, [colnames[i] for i in order]
+
+
+def cells_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) or math.isnan(b):
+            return math.isnan(a) and math.isnan(b)
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+
+def rows_equal(s_rows, o_rows) -> bool:
+    return all(
+        len(a) == len(b) and all(cells_equal(x, y) for x, y in zip(a, b))
+        for a, b in zip(s_rows, o_rows)
+    )
 
 
 def main() -> int:
@@ -82,9 +101,12 @@ def main() -> int:
             elif len(s_n) != len(o_n):
                 print(f"  [FAIL] {name}: rowcount {len(s_n)} vs oracle {len(o_n)}")
                 n_fail += 1
-            elif s_n != o_n:
+            elif not rows_equal(s_n, o_n):
                 diffs = [
-                    (a, b) for a, b in zip(s_n, o_n) if a != b
+                    (a, b)
+                    for a, b in zip(s_n, o_n)
+                    if not (len(a) == len(b)
+                            and all(cells_equal(x, y) for x, y in zip(a, b)))
                 ][:3]
                 print(f"  [FAIL] {name}: value mismatch; first diffs: {diffs}")
                 n_fail += 1
