@@ -503,21 +503,23 @@ def embedding_near_dup_pairs(
     are verified with exact cosine, so precision is exact.
     """
     v = F.col(vec_col).cast("array<double>")
-    with_buckets = df.select(F.col(id_col), v.alias("v"))
-    tables = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_bits, seed + t * 1000)
-        tables.append(
-            with_buckets.select(
-                id_col,
-                "v",
-                F.lit(t).alias("table_id"),
-                hyperplane_bucket(F.col("v"), planes).alias("bucket"),
-            )
+    # All n_tables bucket ids in ONE projection + explode — a single scan of
+    # the corpus regardless of table count (a union of per-table branches
+    # would re-scan the input n_tables times).
+    table_structs = [
+        F.struct(
+            F.lit(t).alias("table_id"),
+            hyperplane_bucket(
+                F.col("v"), _hyperplanes(dim, n_bits, seed + t * 1000)
+            ).alias("bucket"),
         )
-    buckets = tables[0]
-    for t in tables[1:]:
-        buckets = buckets.union(t)
+        for t in range(n_tables)
+    ]
+    buckets = (
+        df.select(F.col(id_col), v.alias("v"))
+        .select(id_col, "v", F.explode(F.array(*table_structs)).alias("tb"))
+        .select(id_col, "v", F.col("tb.table_id"), F.col("tb.bucket"))
+    )
 
     left = buckets.select(
         F.col(id_col).alias("id1"), F.col("v").alias("v1"), "table_id", "bucket"

@@ -127,6 +127,14 @@ def incomplete_count(events: DataFrame) -> DataFrame:
     )
 
 
+def dq_counts(events: DataFrame) -> DataFrame:
+    """Both reference DQ scalars in one row: (duplicate_count,
+    incomplete_count) — the two checks the reference's quality task runs
+    back to back (reference airflow/dags/snowflake_data_pipeline.py:154-170).
+    crossJoin combines two single-row aggregates (bounded 1x1)."""
+    return duplicate_count(events).crossJoin(incomplete_count(events))
+
+
 def dq_gate(events: DataFrame) -> None:
     """The reference's quality gate: raise if duplicates or incomplete rows
     exist (reference airflow/dags/snowflake_data_pipeline.py:181-202).

@@ -76,9 +76,13 @@ def c2_minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE len(t) >= 3
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    hot AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 100
+    ),
+    cool AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
     inter AS (
       SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS m
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM cool a JOIN cool b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT id1, id2,
@@ -88,11 +92,19 @@ def c2_minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes s2 ON id2 = s2.doc_id
     WHERE ROUND(m * 1.0 / (s1.n + s2.n - m), 4) >= 0.8
     """,
-    survey_ref="§2 B11 exact n-gram Jaccard via inverted shingle index",
+    survey_ref="§2 B11 exact n-gram Jaccard via inverted shingle index, "
+    "with the hot-shingle cap engaged (the 100 TB blowup guard)",
 )
 def c3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_doc_freq=100: shingles shared by >100 documents are dropped from
+    the *pairing* side (a boilerplate shingle generates O(df^2) candidate
+    pairs and carries no dedup signal); sizes still count every shingle.
+    The oracle implements the identical guard, so this is the shipped
+    scale configuration under the exactness check — not an unguarded
+    oracle twin."""
     return dedup.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", k=3, threshold=0.8
+        _docs(spark, sf_dir), "doc_id", "text", k=3, threshold=0.8,
+        max_doc_freq=100,
     )
 
 
@@ -109,12 +121,30 @@ def c4_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c5_embedding_near_dups",
-    oracle=None,  # LSH bucketing approximate by design
-    survey_ref="§2 B11 embedding-cosine near-dup (hyperplane LSH + verify)",
+    oracle="""
+    SELECT vec_id AS id1,
+           vec_id + 1000000 AS id2,
+           CAST(1.0 AS DOUBLE) AS cosine
+    FROM embeddings
+    WHERE vec_id < 10
+    ORDER BY id1
+    """,
+    survey_ref="§2 B11 embedding-cosine near-dup (hyperplane LSH + exact "
+    "verify) over planted exact duplicates",
 )
 def c5_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs over the fixture plus 10 planted exact copies
+    (vec_id + 1e6). The fixture's vectors are near-orthogonal (zero pairs
+    >= 0.9 — an unplanted run verified nothing), while an identical copy
+    lands in the same bucket of *every* LSH table and verifies at cosine
+    exactly 1.0 — so recall on the planted pairs is deterministic and the
+    full pair set is oracle-checkable."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 10).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
     return dedup.embedding_near_dup_pairs(
-        _emb(spark, sf_dir), "vec_id", "embedding", threshold=0.5
+        emb.unionByName(planted), "vec_id", "embedding", threshold=0.9
     ).orderBy("id1", "id2")
 
 
@@ -208,42 +238,32 @@ def c16_near_dup_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "c8_token_counts",
+    "c8_text_features",
     oracle="""
     SELECT doc_id,
            LEN(STRING_SPLIT(text, ' ')) AS ws_tokens,
            CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS INT)
-             AS bpe_tokens
+             AS bpe_tokens,
+           md5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint
     FROM documents
     """,
-    survey_ref="§2 B13 token counting (whitespace + BPE-ish regex)",
+    survey_ref="§2 B13 token counting (whitespace + BPE-ish regex) + "
+    "document fingerprinting (normalized content hash)",
 )
-def c8_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c8_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts and the normalized content fingerprint —
+    one projection, all JVM expressions."""
     docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         TX.token_count("text").alias("ws_tokens"),
         TX.bpe_token_count("text").cast("int").alias("bpe_tokens"),
+        TX.doc_fingerprint("text").alias("fingerprint"),
     )
 
 
 @register(
-    "c9_doc_fingerprints",
-    oracle="""
-    SELECT doc_id,
-           md5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint
-    FROM documents
-    """,
-    survey_ref="§2 B13 document fingerprinting (normalized content hash)",
-)
-def c9_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
-        "doc_id", TX.doc_fingerprint("text").alias("fingerprint")
-    )
-
-
-@register(
-    "c10_quality_components",
+    "c10_quality",
     oracle="""
     SELECT doc_id,
            LENGTH(text) AS n_chars_exact,
@@ -255,12 +275,22 @@ def c9_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          'it','for','with','a','an','on','at',
                                          'by','as'], x)))
                  * 1.0 / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1), 4)
-             AS stopword_ratio
+             AS stopword_ratio,
+           ROUND(
+             0.4 * LEAST(LENGTH(text) / 200.0, 1.0)
+           + 0.3 * (1.0 - LEAST(((LENGTH(text)
+                 - LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                 * 1.0 / GREATEST(LENGTH(text), 1)) * 5.0, 1.0))
+           + 0.3 * (CASE WHEN (LENGTH(REPLACE(text, ' ', '')) * 1.0
+                     / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1))
+                     BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END),
+           4) AS quality
     FROM documents
     """,
-    survey_ref="§2 B13 quality scoring components (length/punct/stopword)",
+    survey_ref="§2 B13 quality scoring: length/punct/stopword components "
+    "plus the composite score, one projection",
 )
-def c10_quality_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c10_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
@@ -268,6 +298,7 @@ def c10_quality_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.token_count("text").alias("n_tokens"),
         F.round(TX.punct_ratio("text"), 4).alias("punct_ratio"),
         F.round(TX.stopword_ratio("text"), 4).alias("stopword_ratio"),
+        TX.quality_score("text").alias("quality"),
     )
 
 
@@ -314,30 +345,6 @@ def c11_lang_id_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("pred_lang")
     )
-
-
-@register(
-    "c12_quality_scores",
-    oracle="""
-    SELECT doc_id,
-           ROUND(
-             0.4 * LEAST(LENGTH(text) / 200.0, 1.0)
-           + 0.3 * (1.0 - LEAST(((LENGTH(text)
-                 - LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z0-9 ]', '', 'g')))
-                 * 1.0 / GREATEST(LENGTH(text), 1)) * 5.0, 1.0))
-           + 0.3 * (CASE WHEN (LENGTH(REPLACE(text, ' ', '')) * 1.0
-                     / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1))
-                     BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END),
-           4) AS quality
-    FROM documents
-    """,
-    survey_ref="§2 B13 composite quality score",
-)
-def c12_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id", TX.quality_score("text").alias("quality")
-    ).orderBy("doc_id")
 
 
 @register(
@@ -435,21 +442,34 @@ def c19_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "c13_media_metadata",
+    "c13_media_pack",
     oracle="""
     SELECT doc_id AS media_id,
            OCTET_LENGTH(ENCODE(text)) AS n_bytes,
            SHA256(text) AS digest,
            'image/png' AS mime,
            CAST(n_chars % 1024 AS INT) AS width,
-           CAST(n_chars % 768 AS INT) AS height
+           CAST(n_chars % 768 AS INT) AS height,
+           ROUND(CAST(CONCAT('0x', SUBSTR(sha256(COALESCE(text, '')), 1, 8))
+                      AS UBIGINT) / 4294967296.0, 4) AS f0
     FROM documents
     """,
-    survey_ref="north-star multimodal: binary metadata extraction (JVM-side)",
+    survey_ref="north-star multimodal: JVM-side binary metadata extraction "
+    "joined with the Arrow-batched mapInPandas feature kernel (the oracle "
+    "recomputes byte length, digest, synthetic dims, and the first feature "
+    "dimension in SQL)",
 )
-def c13_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c13_media_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata (cheap JVM pre-filter stage) joined with the feature-kernel
+    output on media_id — both halves of the multimodal plumbing through one
+    driver check. The join shuffles on the id only; payload bytes never
+    leave their stage."""
     media = multimodal.documents_as_media(_docs(spark, sf_dir))
-    return multimodal.media_metadata(media)
+    meta = multimodal.media_metadata(media)
+    feats = multimodal.extract_features(media).select(
+        "media_id", F.round(F.element_at("feature", 1), 4).alias("f0")
+    )
+    return meta.join(feats, "media_id").orderBy("media_id")
 
 
 @register(
@@ -470,24 +490,4 @@ def b17_pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "c14_media_features",
-    oracle="""
-    SELECT doc_id AS media_id,
-           OCTET_LENGTH(ENCODE(COALESCE(text, ''))) AS n_bytes,
-           ROUND(CAST(CONCAT('0x', SUBSTR(sha256(COALESCE(text, '')), 1, 8))
-                      AS UBIGINT) / 4294967296.0, 4) AS f0
-    FROM documents
-    """,
-    survey_ref="north-star multimodal: Arrow-batched feature extraction "
-    "(sha-derived kernel — the oracle recomputes n_bytes and the first "
-    "feature dimension in SQL against the mapInPandas output)",
-)
-def c14_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = multimodal.documents_as_media(_docs(spark, sf_dir))
-    feats = multimodal.extract_features(media)
-    return feats.select(
-        "media_id",
-        "n_bytes",
-        F.round(F.element_at("feature", 1), 4).alias("f0"),
-    ).orderBy("media_id")
+# c14 (feature extraction alone) merged into c13_media_pack above.

@@ -81,40 +81,49 @@ def ref_insert_dedup_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ref_duplicate_event_ids",
     oracle="""
     SELECT event_id, COUNT(*) AS n
-    FROM events
+    FROM (
+      SELECT event_id FROM events
+      UNION ALL
+      SELECT event_id FROM (
+        SELECT event_id FROM events
+        WHERE event_id IS NOT NULL
+        ORDER BY event_id LIMIT 50
+      )
+    )
     GROUP BY event_id
     HAVING COUNT(*) > 1
     """,
     survey_ref="§2 J2/G2 (airflow/dags/snowflake_data_pipeline.py:156-162)",
 )
 def ref_duplicate_event_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.duplicate_event_ids(_events(spark, sf_dir))
-
-
-@register(
-    "ref_duplicate_count",
-    oracle="""
-    SELECT COUNT(*) AS duplicate_count FROM (
-      SELECT event_id FROM events GROUP BY event_id HAVING COUNT(*) > 1
+    """The reference's duplicate-id DQ check, run over the feed plus a
+    deterministic 50-row replay slice — the fixture's event_ids are unique,
+    so the unplanted check returns 0 rows and would verify nothing; the
+    planted replay makes the HAVING filter produce 50 stable rows."""
+    events = _events(spark, sf_dir).select("event_id")
+    replay = (
+        events.filter(F.col("event_id").isNotNull())
+        .orderBy("event_id")
+        .limit(50)
     )
-    """,
-    survey_ref="§2 G3 (airflow/dags/snowflake_data_pipeline.py:154-162)",
-)
-def ref_duplicate_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.duplicate_count(_events(spark, sf_dir))
+    return relational.duplicate_event_ids(events.union(replay))
 
 
 @register(
-    "ref_incomplete_count",
+    "ref_dq_counts",
     oracle="""
-    SELECT COUNT(*) AS incomplete_count
-    FROM events
-    WHERE event_id IS NULL OR ts IS NULL OR event_type IS NULL OR user_id IS NULL
+    SELECT
+      (SELECT COUNT(*) FROM (
+         SELECT event_id FROM events GROUP BY event_id HAVING COUNT(*) > 1
+       )) AS duplicate_count,
+      (SELECT COUNT(*) FROM events
+       WHERE event_id IS NULL OR ts IS NULL
+          OR event_type IS NULL OR user_id IS NULL) AS incomplete_count
     """,
-    survey_ref="§2 P4/G3 (airflow/dags/snowflake_data_pipeline.py:165-170)",
+    survey_ref="§2 G3/P4 (airflow/dags/snowflake_data_pipeline.py:154-170)",
 )
-def ref_incomplete_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return relational.incomplete_count(_events(spark, sf_dir))
+def ref_dq_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.dq_counts(_events(spark, sf_dir))
 
 
 @register(

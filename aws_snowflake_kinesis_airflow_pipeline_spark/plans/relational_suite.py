@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, register_views
 from .registry import register
 
 
@@ -217,66 +217,48 @@ def b3_left_join_urgent_order_counts(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
-    "b3_semi_join_big_spenders",
+    "b3_semi_anti_customers",
     oracle="""
-    SELECT c_custkey, c_name
+    SELECT 'semi' AS op, c_custkey, c_name
     FROM customer
     WHERE EXISTS (
       SELECT 1 FROM orders
       WHERE o_custkey = c_custkey AND o_totalprice > 450000
     )
-    """,
-    survey_ref="§2 B3 left-semi join (EXISTS)",
-)
-def b3_semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
-    return cust.join(
-        big, cust.c_custkey == big.o_custkey, "left_semi"
-    ).select("c_custkey", "c_name")
-
-
-@register(
-    "b3_anti_join_no_urgent_orders",
-    oracle="""
-    SELECT c_custkey, c_name
+    UNION ALL
+    SELECT 'anti' AS op, c_custkey, c_name
     FROM customer
     WHERE NOT EXISTS (
       SELECT 1 FROM orders
       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
     )
     """,
-    survey_ref="§2 B3 left-anti join (NOT EXISTS)",
+    survey_ref="§2 B3 left-semi (EXISTS) + left-anti (NOT EXISTS) joins, "
+    "tagged so one oracle checks both",
 )
-def b3_anti_join_no_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b3_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big spenders (semi join) and never-urgent customers (anti join) in
+    one tagged result — both join types through the same driver check."""
     cust = _t(spark, sf_dir, "customer")
-    urgent = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") == "1-URGENT"
+    orders = _t(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 450000)
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    semi = (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("op"), "c_custkey", "c_name")
     )
-    return cust.join(
-        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name")
+    anti = (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("op"), "c_custkey", "c_name")
+    )
+    return semi.unionByName(anti)
 
 
-# --------------------------------------------------------------------------
-# B4 — sort / top-k
-# --------------------------------------------------------------------------
-
-
-@register(
-    "b4_topk_orders",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 25
-    """,
-    survey_ref="§2 B4 sort + top-k",
-)
 def b4_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orderBy+limit compiles to TakeOrderedAndProject: each partition keeps
     its local top-25, the driver merges k*numPartitions rows — no global
-    sort at any scale."""
+    sort at any scale. (Unregistered: q3 and ref_raw_data_limit carry the
+    top-k driver check; this stays for the plan-shape test.)"""
     return (
         _t(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -291,39 +273,13 @@ def b4_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "b5_window_latest_order",
-    oracle="""
-    SELECT c_custkey AS custkey, o_orderkey, o_totalprice FROM (
-      SELECT c_custkey, o_orderkey, o_totalprice,
-             ROW_NUMBER() OVER (
-               PARTITION BY c_custkey
-               ORDER BY o_orderdate DESC, o_orderkey DESC
-             ) AS rn
-      FROM customer JOIN orders ON c_custkey = o_custkey
-    ) WHERE rn = 1
-    """,
-    survey_ref="§2 B5 row_number (latest-per-key)",
-)
-def b5_window_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    joined = cust.join(orders, cust.c_custkey == orders.o_custkey)
-    w = Window.partitionBy("c_custkey").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("c_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
-        )
-    )
-
-
-@register(
-    "b5_window_running_spend",
+    "b5_window_pack",
     oracle="""
     SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC
+           ) AS recency_rank,
            ROUND(COALESCE(LAG(o_totalprice) OVER w, 0), 2) AS prev_price,
            ROUND(SUM(o_totalprice) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -332,20 +288,28 @@ def b5_window_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
-    survey_ref="§2 B5 lag + running sum with frame",
+    survey_ref="§2 B5 ranking (row_number), offset (lag), and framed "
+    "aggregate (running sum) window functions in one pass",
 )
-def b5_window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b5_window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three window-function families over the same per-customer partition
+    (latest-order rank, previous price, running spend) — one shuffle on
+    o_custkey serves all three; state per key is a single row/accumulator."""
     orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_asc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_desc = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0)), 2).alias(
-            "prev_price"
-        ),
+        F.row_number().over(w_desc).alias("recency_rank"),
+        F.round(
+            F.coalesce(F.lag("o_totalprice").over(w_asc), F.lit(0)), 2
+        ).alias("prev_price"),
         F.round(
             F.sum("o_totalprice").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                w_asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
             2,
         ).alias("running_spend"),
@@ -378,52 +342,59 @@ def b5_window_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
-# B6 — rollup / cube
+# B6 — rollup / cube / grouping sets
 # --------------------------------------------------------------------------
 
 
 @register(
-    "b6_rollup_lineitem",
+    "b6_grouping_pack",
     oracle="""
-    SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           COUNT(*) AS n
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-    survey_ref="§2 B6 rollup",
-)
-def b6_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.count("*").alias("n"),
-        )
-    )
-
-
-@register(
-    "b6_cube_orders",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           COUNT(*) AS n,
-           ROUND(SUM(o_totalprice), 2) AS revenue
+    SELECT 'rollup' AS op, o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'cube' AS op, o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'gsets' AS op, o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS revenue
     FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
-    survey_ref="§2 B6 cube",
+    survey_ref="§2 B6 rollup + cube + explicit GROUPING SETS, tagged so one "
+    "oracle checks all three grouping-extension operators",
 )
-def b6_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        )
+def b6_grouping_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three grouping extensions over the same fact. Each Expand+agg is
+    its own single-shuffle subplan; the union is append-only (no extra
+    exchange). Grouping keys are low-cardinality, so partial aggregation
+    collapses each input partition to a handful of rows per set."""
+    orders = _t(spark, sf_dir, "orders")
+    aggs = [
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    ]
+    rollup = (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(*aggs)
+        .select(F.lit("rollup").alias("op"), "*")
     )
+    cube = (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(*aggs)
+        .select(F.lit("cube").alias("op"), "*")
+    )
+    register_views(spark, sf_dir)
+    gsets = spark.sql(
+        """
+        SELECT 'gsets' AS op, o_orderstatus, o_orderpriority,
+               COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+    return rollup.unionByName(cube).unionByName(gsets)
 
 
 # --------------------------------------------------------------------------
@@ -432,108 +403,108 @@ def b6_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "b7_union_distinct",
+    "b7_set_ops",
     oracle="""
-    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-    UNION
-    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
-    """,
-    survey_ref="§2 B7 UNION (distinct)",
-)
-def b7_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    b = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
-    return a.union(b).distinct()
-
-
-@register(
-    "b7_intersect",
-    oracle="""
-    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-    INTERSECT
-    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
-    """,
-    survey_ref="§2 B7 INTERSECT",
-)
-def b7_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    b = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
-    return a.intersect(b)
-
-
-@register(
-    "b7_except",
-    oracle="""
-    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-    EXCEPT
-    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
-    """,
-    survey_ref="§2 B7 EXCEPT",
-)
-def b7_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    b = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
-    # subtract() is SQL EXCEPT (set semantics): a row present in b is fully
-    # removed. exceptAll().distinct() would differ when a duplicated left
-    # row also appears in b (multiplicity arithmetic leaves survivors).
-    return a.subtract(b)
-
-
-@register(
-    "b7_union_all",
-    oracle="""
-    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    SELECT 'union' AS op, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    )
     UNION ALL
-    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    SELECT 'intersect' AS op, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    )
+    UNION ALL
+    SELECT 'except' AS op, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    )
+    UNION ALL
+    SELECT 'union_all' AS op, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION ALL
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    )
     """,
-    survey_ref="§2 B7 UNION ALL",
+    survey_ref="§2 B7 UNION / INTERSECT / EXCEPT / UNION ALL (and B8 "
+    "DISTINCT via the union branch), tagged so one oracle checks all four",
 )
-def b7_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b7_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four set operations over the same two inputs, tagged. subtract()
+    is SQL EXCEPT (set semantics): a row present in b is fully removed —
+    exceptAll().distinct() would differ when a duplicated left row also
+    appears in b. Each set op is one shuffle on the compared columns."""
     cust = _t(spark, sf_dir, "customer")
     a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     b = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
-    return a.union(b)
+
+    def tag(df: DataFrame, op: str) -> DataFrame:
+        return df.select(F.lit(op).alias("op"), "c_custkey")
+
+    return (
+        tag(a.union(b).distinct(), "union")
+        .unionByName(tag(a.intersect(b), "intersect"))
+        .unionByName(tag(a.subtract(b), "except"))
+        .unionByName(tag(a.union(b), "union_all"))
+    )
 
 
 # --------------------------------------------------------------------------
-# B8 — distinct / approx distinct
+# B8 — distinct-family and statistical aggregates
 # --------------------------------------------------------------------------
 
 
 @register(
-    "b8_distinct_segments_nations",
-    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
-    survey_ref="§2 B8 DISTINCT",
-)
-def b8_distinct_segments_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "customer").select(
-        "c_mktsegment", "c_nationkey"
-    ).distinct()
-
-
-@register(
-    "b8_count_distinct",
+    "b8_stats_pack",
     oracle="""
     SELECT l_returnflag,
            COUNT(DISTINCT l_partkey) AS n_parts,
-           COUNT(DISTINCT l_suppkey) AS n_supps
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+           ROUND(VAR_SAMP(l_discount), 6) AS var_disc,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS median_price,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
-    survey_ref="§2 B8 exact COUNT(DISTINCT)",
+    survey_ref="§2 B8 exact COUNT(DISTINCT) + statistical aggregates "
+    "(stddev/var/corr/covar) + exact interpolated percentiles, one grouping",
 )
-def b8_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("n_parts"),
-            F.countDistinct("l_suppkey").alias("n_supps"),
-        )
+def b8_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-aggregate family over one grouping, as two aggregates
+    joined on the 3-value key: mixing COUNT(DISTINCT) with a percentile in
+    one agg makes Catalyst drag the percentile buffer through the
+    multi-distinct Expand (3x the rows into a sort aggregate — measured
+    ~5x slower at sf0.1); split, the distinct branch expands only its own
+    two key columns and the moments/percentile branch stays a plain hash
+    aggregate. The final join is 3 rows x 3 rows, broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    distincts = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
     )
+    moments = li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "cov_qty_price"
+        ),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
+            "median_price"
+        ),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias(
+            "p90_price"
+        ),
+    )
+    return distincts.join(moments, "l_returnflag")
 
 
 @register(
@@ -661,30 +632,6 @@ def b10_explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# B13 — text statistics
-# --------------------------------------------------------------------------
-
-
-@register(
-    "b13_text_stats_by_lang",
-    oracle="""
-    SELECT lang,
-           COUNT(*) AS n_docs,
-           ROUND(AVG(n_chars), 2) AS avg_chars,
-           ROUND(AVG(LEN(STRING_SPLIT(text, ' '))), 2) AS avg_tokens
-    FROM documents
-    GROUP BY lang
-    """,
-    survey_ref="§2 B13 text analysis aggregates",
-)
-def b13_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.groupBy("lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
-            F.round(F.avg(F.size(F.split("text", " "))), 2).alias("avg_tokens"),
-        )
-    )
+# B13 text statistics live in llm_suite (c8_text_features, c10_quality,
+# c11_lang_id_histogram) — the per-document text operators plus their
+# grouped aggregates, all oracle-paired there.

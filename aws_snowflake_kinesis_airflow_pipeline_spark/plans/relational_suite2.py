@@ -16,21 +16,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-@register(
-    "q6_forecast_revenue",
-    oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
-    survey_ref="§2 B9/G1 simple-predicate scan aggregate (TPC-H Q6 shape)",
-)
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q6: all four predicates push to the parquet scan; the aggregate is a
-    single partial+final sum — pure scan throughput at any scale."""
+    """TPC-H Q6: all four predicates push to the parquet scan; the aggregate
+    is a single partial+final sum — pure scan throughput at any scale.
+    (Unregistered: q1 carries the scan-aggregate driver check; this stays
+    as a bench/plan-shape specimen.)"""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(
@@ -77,56 +67,36 @@ def b_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "b_scalar_subquery_above_avg",
-    oracle="""
-    SELECT o_orderkey, o_totalprice
-    FROM orders
-    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
-    """,
-    survey_ref="§2 B3-adjacent scalar subquery (uncorrelated)",
-)
-def b_scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Orders 50% above the global average. SQL form on registered views —
-    Catalyst plans the scalar subquery as a broadcast one-row join."""
-    register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_totalprice
-        FROM orders
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
-        """
-    )
-
-
-@register(
-    "b_correlated_count_filter",
+    "b_subquery_filters",
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE (SELECT COUNT(*) FROM orders
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+      AND (SELECT COUNT(*) FROM orders
            WHERE o_custkey = c_custkey
              AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
              AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00') >= 3
     """,
-    survey_ref="§2 B3-adjacent correlated subquery (decorrelated to agg+join)",
+    survey_ref="§2 B3-adjacent uncorrelated scalar subquery + correlated "
+    "COUNT subquery in one filter",
 )
-def b_correlated_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with >= 3 orders in 1997. Written as the decorrelated form
-    (filter -> count-by-key -> semi join) — exactly what an optimizer
-    rewrites the correlated subquery into; no per-row subquery execution."""
-    cust = _t(spark, sf_dir, "customer")
-    orders97 = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+def b_subquery_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with >= 3 orders in 1997: the
+    uncorrelated scalar subquery plans as a broadcast one-row join; the
+    correlated COUNT is decorrelated by Catalyst into count-by-key + join —
+    no per-row subquery execution in either case."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+          AND (SELECT COUNT(*) FROM orders
+               WHERE o_custkey = c_custkey
+                 AND o_orderdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'
+                 AND o_orderdate <  TIMESTAMP_NTZ '1998-01-01 00:00:00') >= 3
+        """
     )
-    frequent = (
-        orders97.groupBy("o_custkey")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 3)
-    )
-    return cust.join(
-        frequent, cust.c_custkey == frequent.o_custkey, "left_semi"
-    ).select("c_custkey", "c_name")
 
 
 @register(
@@ -167,28 +137,8 @@ def b_asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "b6_grouping_sets",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           COUNT(*) AS n,
-           ROUND(SUM(o_totalprice), 2) AS revenue
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-    """,
-    survey_ref="§2 B6 explicit GROUPING SETS (beyond rollup/cube)",
-)
-def b6_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT o_orderstatus, o_orderpriority,
-               COUNT(*) AS n,
-               ROUND(SUM(o_totalprice), 2) AS revenue
-        FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
-    )
+# GROUPING SETS is driver-checked inside relational_suite.b6_grouping_pack
+# (tagged union with rollup and cube over the same fact).
 
 
 @register(
@@ -218,59 +168,8 @@ def b_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "b8_percentiles",
-    oracle="""
-    SELECT c_mktsegment,
-           ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS median_price,
-           ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4) AS p90_price
-    FROM orders JOIN customer ON o_custkey = c_custkey
-    GROUP BY c_mktsegment
-    """,
-    survey_ref="§2 B8-adjacent exact percentiles (interpolated quantiles)",
-)
-def b8_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    customer = _t(spark, sf_dir, "customer")
-    return (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
-        .groupBy("c_mktsegment")
-        .agg(
-            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias(
-                "median_price"
-            ),
-            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias(
-                "p90_price"
-            ),
-        )
-    )
-
-
-@register(
-    "b8_stats_aggregates",
-    oracle="""
-    SELECT l_returnflag,
-           ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
-           ROUND(VAR_SAMP(l_discount), 6) AS var_disc,
-           ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS cov_qty_price
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-    survey_ref="§2 B8-adjacent statistical aggregates (stddev/var/corr/covar)",
-)
-def b8_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
-            "corr_qty_price"
-        ),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
-            "cov_qty_price"
-        ),
-    )
+# Percentiles and moment statistics are driver-checked inside
+# relational_suite.b8_stats_pack (one grouping over lineitem).
 
 
 @register(

@@ -8,6 +8,7 @@ DuckDB.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..streaming import windows as W
@@ -55,38 +56,9 @@ def s2_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.sliding_counts(_events(spark, sf_dir), streaming=False)
 
 
-@register(
-    "s3_session_gaps_and_islands",
-    oracle="""
-    WITH flags AS (
-      SELECT user_id, ts,
-             CASE WHEN epoch(ts) - LAG(epoch(ts))
-                    OVER (PARTITION BY user_id ORDER BY ts) > 1800
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-    ),
-    ids AS (
-      SELECT user_id, ts,
-             SUM(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS session_id
-      FROM flags
-    )
-    SELECT user_id,
-           CAST(session_id AS BIGINT) AS session_id,
-           MIN(ts) AS session_start,
-           MAX(ts) AS session_last_event,
-           COUNT(*) AS n
-    FROM ids
-    GROUP BY 1, 2
-    """,
-    survey_ref="§2 B15 sessionization (batch gaps-and-islands ground truth)",
-)
-def s3_session_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return W.batch_sessions_gaps_and_islands(
-        _events(spark, sf_dir), gap_minutes=30
-    )
+# The gaps-and-islands batch formulation (W.batch_sessions_gaps_and_islands)
+# stays as the ground-truth twin used by tests/test_streaming.py; the driver
+# check for B15 rides s4, whose oracle IS the gaps-and-islands SQL.
 
 
 @register(
@@ -121,3 +93,41 @@ def s4_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.session_counts(_events(spark, sf_dir), streaming=False).orderBy(
         "user_id", "session_start"
     )
+
+
+@register(
+    "s5_dedup_within_watermark_twin",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+      FROM (
+        SELECT event_id, user_id, event_type, ts, value FROM events
+        WHERE event_id IS NOT NULL
+        UNION ALL
+        SELECT event_id, user_id, event_type, ts, value FROM (
+          SELECT event_id, user_id, event_type, ts, value FROM events
+          WHERE event_id IS NOT NULL
+          ORDER BY event_id LIMIT 500
+        )
+      )
+    )
+    WHERE rn = 1
+    """,
+    survey_ref="§2 B16 streaming dedup with state "
+    "(dropDuplicatesWithinWatermark; batch twin over an at-least-once "
+    "replay, ROW_NUMBER()=1 oracle — the stream==batch equivalence itself "
+    "is pinned by tests/test_streaming.py)",
+)
+def s5_dedup_within_watermark_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's at-least-once ingest (a replayed slice duplicates 500
+    rows) deduped by key — batch twin of dropDuplicatesWithinWatermark.
+    Replay duplicates are exact row copies, so keep-first is deterministic
+    and SQL-expressible."""
+    ev = (
+        _events(spark, sf_dir)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .filter(F.col("event_id").isNotNull())
+    )
+    replay = ev.orderBy("event_id").limit(500)
+    return W.batch_dedup_keep_first(ev.unionByName(replay), ["event_id"], "ts")

@@ -34,6 +34,67 @@ def read_events_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def delta_available(spark: SparkSession) -> bool:
+    """True when the runtime can execute ACID MERGE: the delta-spark python
+    package is importable AND the session was built with the Delta SQL
+    extension + catalog. Feature detection, not configuration — the engine
+    runs identically (via the parquet fallback) when the answer is False,
+    as it is in this container (no delta jar baked in)."""
+    import importlib.util
+
+    if importlib.util.find_spec("delta") is None:
+        return False
+    ext = spark.conf.get("spark.sql.extensions", "") or ""
+    return "DeltaSparkSessionExtension" in ext
+
+
+def merge_insert_new(
+    spark: SparkSession, target_path: str, staging: DataFrame, key: str
+) -> None:
+    """Insert-if-absent upsert (the reference's ``INSERT .. WHERE event_id
+    NOT IN (SELECT event_id FROM EVENTS)``, K5/J1) against a path-managed
+    table.
+
+    Delta path (when :func:`delta_available`): ``MERGE .. WHEN NOT MATCHED
+    THEN INSERT`` — ACID, so concurrent writers can't race the read-check
+    against the append (reference airflow/dags/snowflake_data_pipeline.py:113-149
+    gets this from Snowflake transactions; parquet directories have no
+    equivalent). Parquet fallback: read target keys, left-anti join, append
+    — correct under the single-writer discipline the streaming pipeline
+    already enforces (one query, checkpointed).
+
+    ``staging`` must be unique on ``key`` (callers dedup within the batch
+    first); MERGE throws on multiple source matches by design.
+    """
+    if delta_available(spark):
+        from delta.tables import DeltaTable
+
+        if DeltaTable.isDeltaTable(spark, target_path):
+            (
+                DeltaTable.forPath(spark, target_path)
+                .alias("t")
+                .merge(staging.alias("s"), f"t.{key} = s.{key}")
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+        else:
+            staging.write.format("delta").mode("overwrite").save(target_path)
+        return
+
+    try:
+        existing = spark.read.parquet(target_path).select(key)
+    except Exception as exc:
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
+        existing = None
+    new_rows = (
+        staging
+        if existing is None
+        else staging.join(existing, key, "left_anti")
+    )
+    new_rows.write.mode("append").parquet(target_path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

@@ -15,7 +15,10 @@ the same linear dependency chain as the DAG (O5), but transactionally
 closer: a failed gate fails the batch, and the checkpoint replays it.
 
 Storage: parquet directories managed by path (works everywhere); the same
-logic drops onto Delta tables with MERGE when the runtime has it.
+insert-if-absent step drops onto Delta tables with ACID MERGE when the
+runtime has it — ``sources.storage.merge_insert_new`` is that seam
+(feature-detected; parquet anti-join fallback is what runs here, where no
+delta jar is baked in).
 """
 
 from __future__ import annotations

@@ -106,6 +106,30 @@ def dedup_within_watermark(
     )
 
 
+def batch_dedup_keep_first(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Batch twin of :func:`dedup_within_watermark`: keep the earliest row
+    per key (ROW_NUMBER over event time = 1) — what the streaming dedup
+    converges to on a bounded frame where every duplicate arrives inside
+    the watermark. One shuffle on the keys; per-key state is one row.
+
+    Ties on (key, ts) pick an arbitrary row among the tied ones — callers
+    needing oracle-grade determinism must ensure tied rows are identical
+    (true for at-least-once replay duplicates, the case this models).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def batch_sessions_gaps_and_islands(
     events: DataFrame,
     ts_col: str = "ts",

@@ -90,6 +90,30 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     assert (1, 4) in pairs and (1, 2) in pairs
 
 
+def test_hot_shingle_cap_bounds_pair_blowup(spark):
+    """One boilerplate shingle shared by ALL docs (a license header at 100 TB)
+    must not generate O(n^2) co-shingled pairs once the cap is on: with
+    max_doc_freq set the pairing side drops the hot shingle entirely, so the
+    all-docs clique contributes zero candidate pairs; unguarded it emits the
+    full C(n,2)."""
+    n = 60
+    rows = [
+        (i, f"shared boilerplate header unique{i} token{i} payload{i}")
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # threshold=0 surfaces every generated pair, so the counts below measure
+    # candidate generation itself, not the jaccard filter.
+    unguarded = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.0
+    ).count()
+    guarded = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.0, max_doc_freq=10
+    ).count()
+    assert unguarded == n * (n - 1) // 2  # the quadratic clique
+    assert guarded == 0  # hot shingle dropped from pairing
+
+
 def test_extended_staging_schema_missing_fields_null(spark, tmp_path):
     from aws_snowflake_kinesis_airflow_pipeline_spark.sources import (
         json_landing,

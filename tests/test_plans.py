@@ -33,10 +33,42 @@ def test_b2_dims_broadcast(spark, sf_dir):
 
 
 def test_topk_uses_take_ordered(spark, sf_dir):
-    assert "TakeOrderedAndProject" in plan_of(spark, "b4_topk_orders", sf_dir)
+    from aws_snowflake_kinesis_airflow_pipeline_spark.plans.relational_suite import (
+        b4_topk_orders,
+    )
+
+    df = b4_topk_orders(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "TakeOrderedAndProject" in plan
     assert "TakeOrderedAndProject" in plan_of(
         spark, "q3_shipping_priority", sf_dir
     )
+
+
+def test_exact_dedup_exchange_on_fingerprint(spark, sf_dir):
+    """The dedup shuffle must key on the 128-bit fingerprint, not the raw
+    text column (at 100 TB the exchange would otherwise hash/compare full
+    document bodies)."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.catalog import load_table
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.dedup import (
+        exact_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    plan = (
+        exact_dedup(docs, ["text"], "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exchanges and all("_key_fp" in l for l in exchanges)
 
 
 def test_events_column_pruning_through_ns_normalization(spark, sf_dir):

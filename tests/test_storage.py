@@ -81,3 +81,44 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def _merge_roundtrip(spark, path):
+    """Shared body for the MERGE upsert: two overlapping batches plus a
+    replay must land each key exactly once."""
+    b1 = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 6)], "event_id long, payload string"
+    )
+    b2 = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(4, 9)], "event_id long, payload string"
+    )
+    storage.merge_insert_new(spark, path, b1, "event_id")
+    storage.merge_insert_new(spark, path, b2, "event_id")
+    storage.merge_insert_new(spark, path, b2, "event_id")  # at-least-once replay
+    return path
+
+
+def test_merge_insert_new_parquet_fallback(spark, tmp_path):
+    path = _merge_roundtrip(spark, str(tmp_path / "events_merge"))
+    got = sorted(
+        r["event_id"] for r in spark.read.parquet(path).collect()
+    )
+    assert got == list(range(1, 9))  # union of both batches, no duplicates
+
+
+import pytest  # noqa: E402
+
+
+def test_merge_insert_new_delta(spark, tmp_path):
+    if not storage.delta_available(spark):
+        pytest.skip(
+            "delta-spark not installed in this container — the MERGE "
+            "branch needs the Delta jar + session extension; the parquet "
+            "fallback test above covers the operator contract here"
+        )
+    path = _merge_roundtrip(spark, str(tmp_path / "events_delta"))
+    got = sorted(
+        r["event_id"]
+        for r in spark.read.format("delta").load(path).collect()
+    )
+    assert got == list(range(1, 9))
