@@ -307,6 +307,9 @@ def simhash_near_dup_pairs(
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
 
     sig = simhash_signatures(df, id_col, text_col)
+    # localCheckpoint: the self-join reads the chunk table twice — without
+    # it both sides replay the full signature aggregation (explode + 64
+    # conditional sums over every token).
     chunks = sig.select(
         id_col,
         "simhash",
@@ -323,7 +326,7 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("ch"),
-    ).select(id_col, "simhash", "ch.chunk_id", "ch.chunk_val")
+    ).select(id_col, "simhash", "ch.chunk_id", "ch.chunk_val").localCheckpoint()
 
     left = chunks.select(
         F.col(id_col).alias("id1"),
@@ -503,9 +506,14 @@ def embedding_near_dup_pairs(
     are verified with exact cosine, so precision is exact.
     """
     v = F.col(vec_col).cast("array<double>")
+    vecs = df.select(F.col(id_col), v.alias("v"))
     # All n_tables bucket ids in ONE projection + explode — a single scan of
     # the corpus regardless of table count (a union of per-table branches
-    # would re-scan the input n_tables times).
+    # would re-scan the input n_tables times). Only the narrow
+    # (id, table, bucket) triple is materialized (localCheckpoint) for the
+    # self-join: carrying the vectors through bucket matching would shuffle
+    # every embedding n_tables times; this way full vectors are only
+    # fetched for the candidate pairs that survive bucketing.
     table_structs = [
         F.struct(
             F.lit(t).alias("table_id"),
@@ -516,22 +524,26 @@ def embedding_near_dup_pairs(
         for t in range(n_tables)
     ]
     buckets = (
-        df.select(F.col(id_col), v.alias("v"))
-        .select(id_col, "v", F.explode(F.array(*table_structs)).alias("tb"))
-        .select(id_col, "v", F.col("tb.table_id"), F.col("tb.bucket"))
+        vecs.select(id_col, F.explode(F.array(*table_structs)).alias("tb"))
+        .select(id_col, F.col("tb.table_id"), F.col("tb.bucket"))
+        .localCheckpoint()
     )
 
-    left = buckets.select(
-        F.col(id_col).alias("id1"), F.col("v").alias("v1"), "table_id", "bucket"
-    )
-    right = buckets.select(
-        F.col(id_col).alias("id2"), F.col("v").alias("v2"), "table_id", "bucket"
-    )
-    return (
-        left.join(right, ["table_id", "bucket"])
+    candidates = (
+        buckets.select(F.col(id_col).alias("id1"), "table_id", "bucket")
+        .join(
+            buckets.select(F.col(id_col).alias("id2"), "table_id", "bucket"),
+            ["table_id", "bucket"],
+        )
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "v1", "v2")
+        .select("id1", "id2")
         .distinct()
+    )
+    v1 = vecs.select(F.col(id_col).alias("id1"), F.col("v").alias("v1"))
+    v2 = vecs.select(F.col(id_col).alias("id2"), F.col("v").alias("v2"))
+    return (
+        candidates.join(v1, "id1")
+        .join(v2, "id2")
         .withColumn("cosine", F.round(cosine_col(F.col("v1"), F.col("v2")), 4))
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
