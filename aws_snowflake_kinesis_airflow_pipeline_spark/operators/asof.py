@@ -72,10 +72,17 @@ def asof_join(
     # right rows tie on (key, timestamp): struct ordering is field-wise, so
     # last() always carries the max payload struct instead of whichever row
     # the shuffle happened to order last. (Left rows all have NULL payload —
-    # their relative order is irrelevant to last(ignorenulls).)
+    # their relative order is irrelevant to last(ignorenulls).) Map-typed
+    # payloads are not orderable in Spark, so the tiebreak is skipped for
+    # them — ties on (key, ts) then carry an arbitrary one of the tied
+    # right rows, as before.
+    orderable = not any("map<" in right_dtypes[c] for c in payload_cols)
+    order_keys = [F.col("_t"), F.col("_is_left")]
+    if orderable:
+        order_keys.append(F.col("_payload").asc_nulls_first())
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_t"), F.col("_is_left"), F.col("_payload").asc_nulls_first())
+        .orderBy(*order_keys)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

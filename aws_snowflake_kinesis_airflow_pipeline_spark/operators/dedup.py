@@ -38,15 +38,27 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     as the deterministic representative (dropDuplicates picks an arbitrary
     row — unacceptable for reproducible pipelines).
 
-    Groups by a 128-bit content fingerprint (md5 of the null-safe
-    JSON-encoded key struct) instead of the raw key columns, so at 100 TB
-    the exchange hashes/compares a 32-byte key rather than full document
-    bodies. The key columns themselves ride along as ``min_by`` aggregates
-    (every value in a group is identical modulo md5 collision, which at
-    128 bits is below hardware-error probability).
+    Groups by a 128-bit content fingerprint (two independently-seeded
+    xxhash64s over the key struct) instead of the raw key columns, so at
+    100 TB the exchange hashes/compares a 16-byte key rather than full
+    document bodies. xxhash64 hashes native column values directly —
+    null-safe and full-precision for every type (a JSON-encode fingerprint
+    would truncate timestamps to the render format's precision). The key
+    columns themselves ride along as ``min_by`` aggregates (every value in
+    a group is identical modulo a 128-bit collision, which is below
+    hardware-error probability).
+
+    Caveat: the fingerprint distinguishes -0.0 from 0.0 in float keys
+    (raw-bits hashing) where groupBy would merge them; normalize float
+    keys first if that distinction matters.
     """
     others = [c for c in df.columns if c not in key_cols and c != id_col]
-    fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in key_cols])))
+    keys = [F.col(c) for c in key_cols]
+    fp = F.concat(
+        F.xxhash64(F.lit(0), *keys).cast("string"),
+        F.lit(":"),
+        F.xxhash64(F.lit(1), *keys).cast("string"),
+    )
     return (
         df.withColumn("_key_fp", fp)
         .groupBy("_key_fp")

@@ -77,22 +77,41 @@ def merge_insert_new(
                 .whenNotMatchedInsertAll()
                 .execute()
             )
-        else:
-            staging.write.format("delta").mode("overwrite").save(target_path)
-        return
+            return
+        existing = _read_target_keys(spark, target_path, key)
+        if existing is None:
+            # genuinely new target -> create it as Delta. errorifexists
+            # guards the race where the path appeared between the checks.
+            staging.write.format("delta").mode("errorifexists").save(
+                target_path
+            )
+            return
+        # Existing NON-Delta data at the target: never silently convert
+        # (an overwrite here would destroy previously ingested rows) —
+        # fall through to the parquet append path.
+    else:
+        existing = _read_target_keys(spark, target_path, key)
 
-    try:
-        existing = spark.read.parquet(target_path).select(key)
-    except Exception as exc:
-        if "PATH_NOT_FOUND" not in str(exc):
-            raise
-        existing = None
     new_rows = (
         staging
         if existing is None
         else staging.join(existing, key, "left_anti")
     )
     new_rows.write.mode("append").parquet(target_path)
+
+
+def _read_target_keys(spark: SparkSession, path: str, key: str):
+    """Key column of an existing parquet target; None when the target is
+    effectively absent. UNABLE_TO_INFER_SCHEMA counts as absent: a crashed
+    first write can leave an empty directory, and treating it as fatal
+    would wedge ingestion permanently."""
+    try:
+        return spark.read.parquet(path).select(key)
+    except Exception as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return None
+        raise
 
 
 def write_bucketed_table(

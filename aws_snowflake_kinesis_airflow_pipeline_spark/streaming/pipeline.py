@@ -14,11 +14,13 @@ Everything per-batch happens inside ``foreachBatch`` in statement order —
 the same linear dependency chain as the DAG (O5), but transactionally
 closer: a failed gate fails the batch, and the checkpoint replays it.
 
-Storage: parquet directories managed by path (works everywhere); the same
-insert-if-absent step drops onto Delta tables with ACID MERGE when the
-runtime has it — ``sources.storage.merge_insert_new`` is that seam
-(feature-detected; parquet anti-join fallback is what runs here, where no
-delta jar is baked in).
+Storage: parquet directories managed by path (works everywhere). The
+pipeline's own insert step stays the partitioned anti-join append below
+(it owns event_date partitioning and the per-batch insert metrics);
+``sources.storage.merge_insert_new`` provides the same insert-if-absent
+contract for unpartitioned path-managed tables, upgrading to ACID Delta
+MERGE when the runtime has the jar (feature-detected; not available in
+this container).
 """
 
 from __future__ import annotations

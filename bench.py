@@ -38,16 +38,15 @@ HEADLINE = (
     "s1_tumbling_window_counts",
 )
 
-_SUITE_PREFIXES = (("ref_", "reference"), ("c", "llm"), ("s", "streaming"))
-
-
-def suite_of(name: str) -> str:
-    for prefix, suite in _SUITE_PREFIXES:
-        if name.startswith(prefix) and (
-            prefix != "c" or name[1].isdigit()
-        ) and (prefix != "s" or name[1].isdigit()):
-            return suite
-    return "relational"
+def suite_of(q) -> str:
+    """Suite bucket from the registering module — robust to naming (b17
+    lives in llm_suite despite its b-prefix)."""
+    mod = q.fn.__module__.rsplit(".", 1)[-1]
+    return {
+        "reference_suite": "reference",
+        "llm_suite": "llm",
+        "streaming_suite": "streaming",
+    }.get(mod, "relational")
 
 
 def sf_of(path: str) -> float:
@@ -73,7 +72,7 @@ def main() -> None:
     total = round(sum(times.values()), 3)
     suites: dict[str, float] = {}
     for name, sec in times.items():
-        s = suite_of(name)
+        s = suite_of(QUERIES[name])
         suites[s] = round(suites.get(s, 0.0) + sec, 3)
 
     details_path = os.path.join(

@@ -134,3 +134,22 @@ def test_asof_join_carries_latest_not_first(spark):
     )
     row = asof_join(left, right, "k", "lts", "rts", ["price"]).first()
     assert row["price"] == 29.0
+
+
+def test_asof_map_payload_skips_struct_tiebreak(spark):
+    """Map-typed payloads are not orderable — the deterministic-tie
+    ordering must degrade gracefully instead of raising at plan time."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 10)], "user_id long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, {"a": "x"})],
+        "user_id long, view_ts long, attrs map<string,string>",
+    )
+    out = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="view_ts",
+        payload_cols=["attrs"],
+    ).collect()
+    assert len(out) == 1 and out[0]["attrs"] == {"a": "x"}

@@ -71,6 +71,25 @@ def test_exact_dedup_exchange_on_fingerprint(spark, sf_dir):
     assert exchanges and all("_key_fp" in l for l in exchanges)
 
 
+def test_q6_all_predicates_push_to_scan(spark, sf_dir):
+    """TPC-H Q6 (unregistered bench specimen): all four predicates must
+    reach the parquet scan as pushed filters."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.plans.relational_suite2 import (
+        q6_forecast_revenue,
+    )
+
+    df = q6_forecast_revenue(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pushed = plan.split("PushedFilters:", 1)[1].splitlines()[0]
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+
+
 def test_events_column_pruning_through_ns_normalization(spark, sf_dir):
     """The catalog's ts-conversion projection must not defeat column
     pruning: a query not touching ts reads only its own columns."""

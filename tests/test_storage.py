@@ -122,3 +122,16 @@ def test_merge_insert_new_delta(spark, tmp_path):
         for r in spark.read.format("delta").load(path).collect()
     )
     assert got == list(range(1, 9))
+
+
+def test_merge_insert_new_self_heals_empty_target_dir(spark, tmp_path):
+    """A crashed first write can leave an empty target directory; the
+    upsert must treat it as an absent target, not wedge permanently."""
+    path = tmp_path / "events_empty"
+    path.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, "v1")], "event_id long, payload string"
+    )
+    storage.merge_insert_new(spark, str(path), b1, "event_id")
+    got = [r["event_id"] for r in spark.read.parquet(str(path)).collect()]
+    assert got == [1]

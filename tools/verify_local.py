@@ -56,7 +56,11 @@ def cells_equal(a, b) -> bool:
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) or math.isnan(b):
             return math.isnan(a) and math.isnan(b)
-        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+        # Tolerance matches the 6-dp sort-key granularity in normalize():
+        # rows that tie on the sort key must also compare equal here, or
+        # engine-dependent input order could pair them across a real (but
+        # sub-sort-key) difference and report a spurious FAIL.
+        return math.isclose(a, b, rel_tol=1e-6, abs_tol=1e-6)
     return a == b
 
 
