@@ -79,10 +79,16 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 def shingle_index(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
-    """(id, shingle) inverted index — distinct word-k-gram per document."""
+    """(id, shingle) inverted index — distinct word-k-gram per document,
+    with the shingle stored as its 64-bit xxhash64 rather than the string:
+    the distinct and every downstream equality join / doc-freq count then
+    shuffle and compare 8-byte longs instead of k-gram text. Cross-shingle
+    hash collisions perturb Jaccard with probability ~|shingles|^2 / 2^64
+    (never observed at fixture scale; deterministic when they do occur)."""
     return (
         df.select(id_col, word_shingles(tokens(text_col), k).alias("shingles"))
-        .select(id_col, F.explode("shingles").alias("shingle"))
+        .select(id_col, F.explode("shingles").alias("sh_str"))
+        .select(id_col, F.xxhash64("sh_str").alias("shingle"))
         .distinct()
     )
 
@@ -186,7 +192,8 @@ def minhash_signatures(
     index: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature as ``mins: array<long>`` where
-    mins[i] = min over shingles of xxhash64(i, xxhash64(shingle)).
+    mins[i] = min over shingles of xxhash64(i, h) and h is the shingle's
+    base hash (the index already stores shingles hashed).
 
     One narrow aggregate (collect the per-shingle base hashes) + one array
     projection for all ``num_hashes`` rehashes — a single shuffle, and a
@@ -195,7 +202,7 @@ def minhash_signatures(
     sh = index if index is not None else shingle_index(df, id_col, text_col, k)
     return (
         sh.groupBy(id_col)
-        .agg(F.collect_list(F.xxhash64("shingle")).alias("_hs"))
+        .agg(F.collect_list("shingle").alias("_hs"))
         .select(
             id_col,
             F.expr(
