@@ -53,12 +53,45 @@ def c1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("text", "doc_id", "lang")
 
 
+_EXACT_JACCARD_PAIRS_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+      WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS m
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           ROUND(m * 1.0 / (s1.n + s2.n - m), 4) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON id1 = s1.doc_id
+    JOIN sizes s2 ON id2 = s2.doc_id
+    WHERE ROUND(m * 1.0 / (s1.n + s2.n - m), 4) >= 0.8
+"""
+
+
 @register(
     "c2_minhash_lsh_near_dups",
-    oracle=None,  # LSH candidate generation is approximate by design
-    survey_ref="§2 B11 MinHash+LSH near-dup (shingle→minhash→band→bucket join)",
+    oracle=_EXACT_JACCARD_PAIRS_SQL,
+    survey_ref="§2 B11 MinHash+LSH near-dup (shingle→minhash→band→bucket "
+    "join); oracle = the exact-Jaccard pair set, which the LSH path must "
+    "reproduce because candidates are exact-verified and banded recall on "
+    "the fixture is deterministically 1.0 (pinned by "
+    "test_minhash_matches_exact_jaccard_on_fixture)",
 )
 def c2_minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-dup pairs, hash-checked against ground truth: false
+    positives are impossible (every candidate is exact-verified) and the
+    16x4 banding's miss probability at jaccard 0.8 is ~2e-4 per pair under
+    deterministic hashing — zero misses on the fixtures (verified at
+    sf0.01 and sf0.1), so the oracle is the plain exact-Jaccard SQL."""
     return dedup.minhash_lsh_pairs(
         _docs(spark, sf_dir), "doc_id", "text", threshold=0.8
     ).orderBy("id1", "id2")
@@ -222,9 +255,30 @@ def c15_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c16_near_dup_dedup_survivors",
-    oracle=None,  # clustering over LSH pairs; pinned by planted-cluster tests
-    survey_ref="§2 B11 end-to-end near-dup removal "
-    "(LSH pairs → connected components → min-id survivor)",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_EXACT_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION
+      SELECT id2 AS a, id1 AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    dropped AS (
+      SELECT a AS doc_id FROM reach GROUP BY a HAVING MIN(b) < a
+    )
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    ORDER BY doc_id
+    """,
+    survey_ref="§2 B11 end-to-end near-dup removal (LSH pairs → connected "
+    "components → min-id survivor); oracle clusters the exact-Jaccard "
+    "pair set with a recursive-CTE transitive closure and keeps each "
+    "component's min id — valid because LSH recall on the fixture is "
+    "deterministically 1.0 (same argument as c2)",
 )
 def c16_near_dup_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
