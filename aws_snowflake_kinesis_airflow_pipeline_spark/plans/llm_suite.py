@@ -1,8 +1,12 @@
 """LLM-data-pipeline queries (SURVEY.md §2 Part B11-B13 + north-star ops):
 dedup family, similarity search, text analysis, multimodal plumbing.
 
-Oracle policy: exact/deterministic ops get DuckDB SQL; sketch/LSH ops are
-rows-only by design (approximate candidate generation), with pytest
+Oracle policy: every op whose fixture result is deterministic and
+SQL-expressible gets DuckDB SQL — including the LSH near-dup flagships,
+whose exact-verified candidates match exact-Jaccard ground truth (recall
+is deterministically 1.0 on the fixtures, pinned by test). Rows-only is
+reserved for genuinely non-SQL ops (HLL sketch, xxhash64 SimHash
+signatures, probe-subset top-k, partition-local FFD packing), with pytest
 coverage planting known duplicates to pin recall.
 """
 

@@ -87,3 +87,37 @@ def test_summary_additivity(spark, a, b):
         for r in merged_df.collect()
     }
     assert direct == merged
+
+
+doc_rows = st.lists(
+    st.tuples(
+        st.integers(0, 1_000_000),  # doc_id (dups allowed across rows)
+        st.text(
+            alphabet="ab c", min_size=0, max_size=12
+        ),  # tiny texts incl. duplicates/empties
+    ),
+    max_size=20,
+)
+
+
+@given(rows=doc_rows)
+@SETTINGS
+def test_exact_dedup_idempotent_and_replay_invariant(spark, rows):
+    """exact_dedup is a fixpoint (dedup∘dedup == dedup) and replay-stable
+    (dedup(x ∪ x) == dedup(x)) — the invariants that make it safe under
+    at-least-once upstream delivery."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.dedup import (
+        exact_dedup,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = exact_dedup(df, key_cols=["text"], id_col="doc_id")
+    twice = exact_dedup(once, key_cols=["text"], id_col="doc_id")
+    replay = exact_dedup(df.union(df), key_cols=["text"], id_col="doc_id")
+
+    def rowset(d):
+        return {tuple(r) for r in d.collect()}
+
+    expect = rowset(once)
+    assert rowset(twice) == expect
+    assert rowset(replay) == expect
