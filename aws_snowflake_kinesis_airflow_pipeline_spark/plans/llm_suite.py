@@ -299,33 +299,11 @@ def c16_near_dup_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c8_text_features",
     oracle="""
     SELECT doc_id,
+           LENGTH(text) AS n_chars,
            LEN(STRING_SPLIT(text, ' ')) AS ws_tokens,
            CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS INT)
              AS bpe_tokens,
-           md5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint
-    FROM documents
-    """,
-    survey_ref="§2 B13 token counting (whitespace + BPE-ish regex) + "
-    "document fingerprinting (normalized content hash)",
-)
-def c8_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token counts and the normalized content fingerprint —
-    one projection, all JVM expressions."""
-    docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id",
-        TX.token_count("text").alias("ws_tokens"),
-        TX.bpe_token_count("text").cast("int").alias("bpe_tokens"),
-        TX.doc_fingerprint("text").alias("fingerprint"),
-    )
-
-
-@register(
-    "c10_quality",
-    oracle="""
-    SELECT doc_id,
-           LENGTH(text) AS n_chars_exact,
-           LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+           md5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint,
            ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z0-9 ]', '', 'g')))
                  * 1.0 / GREATEST(LENGTH(text), 1), 4) AS punct_ratio,
            ROUND(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
@@ -345,15 +323,20 @@ def c8_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            4) AS quality
     FROM documents
     """,
-    survey_ref="§2 B13 quality scoring: length/punct/stopword components "
-    "plus the composite score, one projection",
+    survey_ref="§2 B13 pack: token counting (whitespace + BPE-ish regex), "
+    "document fingerprinting (normalized content hash), and quality scoring "
+    "(length/punct/stopword components + composite) — one per-doc projection",
 )
-def c10_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c8_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts, the normalized content fingerprint, and
+    the quality-score components — one projection, all JVM expressions."""
     docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
-        F.length("text").alias("n_chars_exact"),
-        TX.token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        TX.token_count("text").alias("ws_tokens"),
+        TX.bpe_token_count("text").cast("int").alias("bpe_tokens"),
+        TX.doc_fingerprint("text").alias("fingerprint"),
         F.round(TX.punct_ratio("text"), 4).alias("punct_ratio"),
         F.round(TX.stopword_ratio("text"), 4).alias("stopword_ratio"),
         TX.quality_score("text").alias("quality"),
@@ -549,3 +532,114 @@ def b17_pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # c14 (feature extraction alone) merged into c13_media_pack above.
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination + PII redaction (north-star corpus hygiene)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "c20_benchmark_decontamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t) - 2, 0) + 1),
+                    i -> ARRAY_TO_STRING(t[i:i+2], ' '))) AS sh
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+    SELECT s.doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(*) FILTER (WHERE b.sh IS NOT NULL) AS n_contaminated,
+           ROUND(COUNT(*) FILTER (WHERE b.sh IS NOT NULL) * 1.0 / COUNT(*), 4)
+             AS contamination
+    FROM sh s LEFT JOIN bench b USING (sh)
+    WHERE s.doc_id % 97 <> 0
+    GROUP BY s.doc_id
+    """,
+    survey_ref="north-star benchmark decontamination (word-k-gram overlap "
+    "vs an eval set, GPT-3/C4 rule; broadcast benchmark-shingle join — "
+    "no self-join, no pair blowup)",
+)
+def c20_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-overlap contamination of every corpus doc against a
+    deterministic fixture 'benchmark' slice (doc_id % 97 == 0 — ~1% of
+    docs, standing in for a held-out eval set). The benchmark's distinct
+    shingles broadcast; the corpus index is exploded once and never
+    self-joined. Spark counts hashed shingles, the oracle counts the
+    strings — identical modulo a ~2^-64 xxhash64 collision."""
+    from ..operators.contamination import benchmark_ngram_overlap
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return benchmark_ngram_overlap(corpus, bench, "doc_id", "text", k=3)
+
+
+# Planted PII rows (fixture documents are PII-free by construction); the
+# ids sit far above the fixture doc_id range at every SF. The same constant
+# builds the Spark DataFrame and the VALUES list in the oracle, so both
+# engines see byte-identical inputs.
+_PII_PLANTED: list[tuple[int, str]] = [
+    (90000001, "contact alice at alice.w@example.com or 555-123-4567 for details"),
+    (90000002, "server logs show 192.168.0.1 and 10.0.0.255 probing port 22"),
+    (90000003, "bob.smith+spam@mail.example.org emailed from 172.16.254.3 twice"),
+    (90000004, "fax 800.555.0199 office 212-555-0100 email ops@corp.io thanks"),
+    (90000005, "no pii in this row just ordinary filler words and numbers 42"),
+]
+
+_PII_VALUES_SQL = ",\n      ".join(
+    f"({i}, '{t}')" for i, t in _PII_PLANTED
+)
+
+
+def _pii_oracle() -> str:
+    from ..functions.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT * FROM (VALUES {_PII_VALUES_SQL}) AS t(doc_id, text)
+    )
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{PHONE_RE}')) AS INT) AS n_phones,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{IPV4_RE}')) AS INT) AS n_ips,
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g'),
+             '{IPV4_RE}', '<IP>', 'g') AS redacted
+    FROM base
+    """
+
+
+@register(
+    "c21_pii_redaction",
+    oracle=_pii_oracle(),
+    survey_ref="north-star PII scrub (email/phone/IPv4 detection counts + "
+    "ordered redaction, Java-regex/RE2-portable patterns, all JVM "
+    "regexp expressions) over documents plus planted PII rows",
+)
+def c21_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts per PII category on the original text plus the redacted text
+    itself (the value-hash check then covers every byte of the output).
+    One narrow projection — no shuffle at all."""
+    from ..functions import pii
+
+    planted = spark.createDataFrame(_PII_PLANTED, "doc_id long, text string")
+    base = (
+        _docs(spark, sf_dir).select("doc_id", "text").unionByName(planted)
+    )
+    return base.select(
+        "doc_id",
+        pii.email_count("text").alias("n_emails"),
+        pii.phone_count("text").alias("n_phones"),
+        pii.ipv4_count("text").alias("n_ips"),
+        pii.redact_pii("text").alias("redacted"),
+    )

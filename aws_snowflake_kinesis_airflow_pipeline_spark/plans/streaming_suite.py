@@ -20,26 +20,20 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "s1_tumbling_window_counts",
+    "s1_window_counts",
     oracle="""
-    SELECT DATE_TRUNC('hour', ts) AS window_start,
+    SELECT 'tumbling' AS op,
+           DATE_TRUNC('hour', ts) AS window_start,
            DATE_TRUNC('hour', ts) + INTERVAL '1 hour' AS window_end,
            event_type,
            COUNT(*) AS n
     FROM events
-    GROUP BY 1, 2, 3
-    """,
-    survey_ref="§2 B14 tumbling window counts (batch twin of streaming agg)",
-)
-def s1_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return W.tumbling_counts(_events(spark, sf_dir), streaming=False)
-
-
-@register(
-    "s2_sliding_window_counts",
-    oracle="""
-    SELECT ws AS window_start,
+    GROUP BY 1, 2, 3, 4
+    UNION ALL
+    SELECT 'sliding' AS op,
+           ws AS window_start,
            ws + INTERVAL '1 hour' AS window_end,
+           CAST(NULL AS VARCHAR) AS event_type,
            COUNT(*) AS n
     FROM (
       SELECT UNNEST([
@@ -48,12 +42,29 @@ def s1_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       ]) AS ws
       FROM events
     )
-    GROUP BY 1, 2
+    GROUP BY 1, 2, 3, 4
     """,
-    survey_ref="§2 B14 sliding window counts (1h window / 30m slide)",
+    survey_ref="§2 B14 tumbling (per event_type) + sliding (1h/30m) window "
+    "counts, tagged so one oracle checks both batch twins of the "
+    "streaming aggregations",
 )
-def s2_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return W.sliding_counts(_events(spark, sf_dir), streaming=False)
+def s1_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    tumbling = W.tumbling_counts(ev, streaming=False).select(
+        F.lit("tumbling").alias("op"),
+        "window_start",
+        "window_end",
+        "event_type",
+        "n",
+    )
+    sliding = W.sliding_counts(ev, streaming=False).select(
+        F.lit("sliding").alias("op"),
+        "window_start",
+        "window_end",
+        F.lit(None).cast("string").alias("event_type"),
+        "n",
+    )
+    return tumbling.unionByName(sliding)
 
 
 # The gaps-and-islands batch formulation (W.batch_sessions_gaps_and_islands)

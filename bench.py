@@ -35,7 +35,7 @@ HEADLINE = (
     "c1_exact_dedup",
     "c2_minhash_lsh_near_dups",
     "c16_near_dup_dedup_survivors",
-    "s1_tumbling_window_counts",
+    "s1_window_counts",
 )
 
 def suite_of(q) -> str:
