@@ -121,3 +121,141 @@ def test_exact_dedup_idempotent_and_replay_invariant(spark, rows):
     expect = rowset(once)
     assert rowset(twice) == expect
     assert rowset(replay) == expect
+
+
+# --------------------------------------------------------------------------
+# LLM-data operator invariants
+# --------------------------------------------------------------------------
+
+_VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+doc_corpus = st.lists(
+    st.lists(st.sampled_from(_VOCAB), min_size=4, max_size=10).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+SLOW_SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(texts=doc_corpus)
+@SLOW_SETTINGS
+def test_lsh_pairs_subset_of_exact_with_exact_copy_recall(spark, texts):
+    """Two theorems of the MinHash-LSH design, on arbitrary tiny-vocab
+    corpora: (precision) every LSH pair survives exact-Jaccard
+    verification, so lsh_pairs ⊆ exact_pairs at the same threshold; and
+    (exact-copy recall) identical texts have identical signatures, hence
+    identical band hashes, hence are ALWAYS candidates — LSH can never
+    miss a byte-identical duplicate."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    lsh = {
+        (r["id1"], r["id2"])
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", k=2, threshold=0.5
+        ).collect()
+    }
+    exact = {
+        (r["id1"], r["id2"])
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", k=2, threshold=0.5
+        ).collect()
+    }
+    assert lsh <= exact
+    copies = {
+        (i, j)
+        for i, a in enumerate(texts)
+        for j, b in enumerate(texts)
+        if i < j and a == b and len(a.split()) >= 2  # >= k tokens
+    }
+    assert copies <= lsh
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=1,
+    max_size=20,
+).map(lambda es: [(a, b) for a, b in es if a != b])
+
+
+@given(edges=edge_lists)
+@SLOW_SETTINGS
+def test_connected_components_match_union_find(spark, edges):
+    """Label propagation must produce exactly the partition a driver-side
+    union-find produces: every node labeled with the min id reachable
+    from it."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    if not edges:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    groups: dict[int, list[int]] = {}
+    for n in parent:
+        groups.setdefault(find(n), []).append(n)
+    expected = {n: min(ns) for ns in groups.values() for n in ns}
+
+    pairs = spark.createDataFrame(edges, "id1 long, id2 long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == expected
+
+
+pii_tokens = st.lists(
+    st.sampled_from(
+        _VOCAB
+        + [
+            "a.b@x.io",
+            "ops@corp.example.org",
+            "555-123-4567",
+            "800.555.0199",
+            "10.0.0.1",
+            "192.168.1.255",
+            "42",
+        ]
+    ),
+    min_size=1,
+    max_size=12,
+).map(" ".join)
+
+
+@given(text=pii_tokens)
+@SLOW_SETTINGS
+def test_redaction_leaves_no_residual_pii(spark, text):
+    """After redact_pii, every detector must count zero — redaction is
+    complete, and placeholder tokens never form new matches."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.functions import pii
+
+    row = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(pii.redact_pii("text").alias("red"))
+        .select(
+            pii.email_count("red").alias("e"),
+            pii.phone_count("red").alias("p"),
+            pii.ipv4_count("red").alias("i"),
+        )
+        .first()
+    )
+    assert (row["e"], row["p"], row["i"]) == (0, 0, 0)
