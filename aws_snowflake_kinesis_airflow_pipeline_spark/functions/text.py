@@ -100,6 +100,30 @@ def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Col
     return n_stop / F.greatest(F.size(t), F.lit(1))
 
 
+def dup_word_frac(col: Column | str) -> Column:
+    """Fraction of tokens that are repeats of an earlier token — the
+    Gopher/Dolma within-document repetition signal (their duplicate-line
+    fraction, at word granularity for single-line corpora). 0 = all tokens
+    distinct, →1 = one token repeated throughout."""
+    t = tokens(col)
+    return (F.size(t) - F.size(F.array_distinct(t))) / F.greatest(
+        F.size(t), F.lit(1)
+    )
+
+
+def top_word_frac(col: Column | str) -> Column:
+    """Fraction of tokens taken by the single most frequent token (Gopher's
+    top-n-gram character fraction, n=1, token-counted). Per-row O(tokens ×
+    distinct) array expression — no shuffle, no explode; bounded by
+    document length, not corpus size."""
+    t = tokens(col)
+    counts = F.transform(
+        F.array_distinct(t),
+        lambda w: F.size(F.filter(t, lambda x: x == w)),
+    )
+    return F.array_max(counts) / F.greatest(F.size(t), F.lit(1))
+
+
 def mean_token_len(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     t = tokens(col)

@@ -70,3 +70,22 @@ def stratified_deterministic_sample(
         list(fractions)
     )
     return df.filter(cond | other)
+
+
+def deterministic_shuffle(
+    df: DataFrame, key_col: str, seed: int = 0
+) -> DataFrame:
+    """Global pseudo-random training order as a pure function of (seed,
+    key): sort by xxhash64(seed, key). Reproducible on any cluster shape —
+    unlike orderBy(rand()) the order survives reruns, repartitions, and
+    speculative retries, and changing the seed gives an independent epoch
+    permutation.
+
+    At scale this is one range-partitioned sort (Spark samples hash bounds,
+    then each partition sorts locally); downstream sequence packing /
+    sharded writers consume the order partition-by-partition without any
+    further shuffle. Ties (duplicate keys) are broken by the key itself so
+    the order is total and deterministic.
+    """
+    c = F.col(key_col)
+    return df.orderBy(F.xxhash64(F.lit(seed), c), c)

@@ -304,6 +304,11 @@ def c16_near_dup_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS INT)
              AS bpe_tokens,
            md5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           ROUND((LEN(STRING_SPLIT(text, ' ')) - LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))))
+                 * 1.0 / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1), 4) AS dup_word_frac,
+           ROUND(LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(STRING_SPLIT(text, ' ')),
+                     w -> LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x = w))))
+                 * 1.0 / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1), 4) AS top_word_frac,
            ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z0-9 ]', '', 'g')))
                  * 1.0 / GREATEST(LENGTH(text), 1), 4) AS punct_ratio,
            ROUND(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
@@ -324,8 +329,10 @@ def c16_near_dup_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     survey_ref="§2 B13 pack: token counting (whitespace + BPE-ish regex), "
-    "document fingerprinting (normalized content hash), and quality scoring "
-    "(length/punct/stopword components + composite) — one per-doc projection",
+    "document fingerprinting (normalized content hash), Gopher-style "
+    "repetition signals (duplicate-word + top-word fractions), and quality "
+    "scoring (length/punct/stopword components + composite) — one per-doc "
+    "projection",
 )
 def c8_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counts, the normalized content fingerprint, and
@@ -337,6 +344,8 @@ def c8_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.token_count("text").alias("ws_tokens"),
         TX.bpe_token_count("text").cast("int").alias("bpe_tokens"),
         TX.doc_fingerprint("text").alias("fingerprint"),
+        F.round(TX.dup_word_frac("text"), 4).alias("dup_word_frac"),
+        F.round(TX.top_word_frac("text"), 4).alias("top_word_frac"),
         F.round(TX.punct_ratio("text"), 4).alias("punct_ratio"),
         F.round(TX.stopword_ratio("text"), 4).alias("stopword_ratio"),
         TX.quality_score("text").alias("quality"),

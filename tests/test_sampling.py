@@ -58,3 +58,25 @@ def test_stratified_sample(spark, sf_dir):
     for lang in before:
         if lang != "en":
             assert after[lang] == before[lang]  # other strata untouched
+
+
+def test_deterministic_shuffle_stable_and_seed_dependent(spark):
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    order1 = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", seed=1).collect()]
+    # identical across reruns and partitioning changes
+    order1b = [
+        r["doc_id"]
+        for r in deterministic_shuffle(df.repartition(7), "doc_id", seed=1).collect()
+    ]
+    assert order1 == order1b
+    # a permutation, not the identity, and seed-dependent
+    assert sorted(order1) == list(range(200))
+    assert order1 != list(range(200))
+    order2 = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", seed=2).collect()]
+    assert order2 != order1

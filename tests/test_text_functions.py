@@ -51,3 +51,29 @@ def test_quality_components(spark):
     assert abs(sw - 0.6) < 1e-9
     q = one(spark, "the quick brown fox jumps over the lazy dog", TX.quality_score("text"))
     assert 0.0 <= q <= 1.0
+
+
+def test_repetition_signals(spark):
+    from aws_snowflake_kinesis_airflow_pipeline_spark.functions.text import (
+        dup_word_frac,
+        top_word_frac,
+    )
+
+    rows = [
+        (1, "a b c d"),          # all distinct
+        (2, "a a a a"),          # one token repeated
+        (3, "a a b c"),          # one repeat of four
+    ]
+    out = {
+        r["i"]: (r["d"], r["t"])
+        for r in spark.createDataFrame(rows, "i long, text string")
+        .select(
+            "i",
+            dup_word_frac("text").alias("d"),
+            top_word_frac("text").alias("t"),
+        )
+        .collect()
+    }
+    assert out[1] == (0.0, 0.25)
+    assert out[2] == (0.75, 1.0)
+    assert out[3] == (0.25, 0.5)
