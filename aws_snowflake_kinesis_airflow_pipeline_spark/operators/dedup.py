@@ -28,6 +28,23 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens, word_shingles
 
+
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition up to the session's core count before a CPU-heavy
+    per-row expansion (shingling, token explode, signature hashing) — but
+    ONLY when the incoming plan has fewer partitions than cores.
+
+    Why: a small parquet file is one row group = one scan task, so the
+    ~50× explode work serializes on a single core while the rest idle
+    (measured 3.3 s -> 0.6 s on the sf0.1 shingle index). At 100 TB the
+    input arrives in thousands of file splits, the guard is false, and no
+    extra text-carrying shuffle is ever added.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols)
+
 # --------------------------------------------------------------------------
 # Exact dedup
 # --------------------------------------------------------------------------
@@ -86,7 +103,8 @@ def shingle_index(
     hash collisions perturb Jaccard with probability ~|shingles|^2 / 2^64
     (never observed at fixture scale; deterministic when they do occur)."""
     return (
-        df.select(id_col, word_shingles(tokens(text_col), k).alias("shingles"))
+        _spread(df.select(id_col, text_col), id_col)
+        .select(id_col, word_shingles(tokens(text_col), k).alias("shingles"))
         .select(id_col, F.explode("shingles").alias("sh_str"))
         .select(id_col, F.xxhash64("sh_str").alias("shingle"))
         .distinct()
@@ -287,7 +305,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     64 conditional-sum aggregates in one groupBy — single shuffle.
     """
-    tok = df.select(
+    tok = _spread(df.select(id_col, text_col), id_col).select(
         id_col, F.explode(tokens(text_col)).alias("token")
     ).withColumn("th", F.xxhash64("token"))
     bit_sums = [
