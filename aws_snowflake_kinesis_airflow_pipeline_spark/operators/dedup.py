@@ -543,7 +543,10 @@ def embedding_near_dup_pairs(
     are verified with exact cosine, so precision is exact.
     """
     v = F.col(vec_col).cast("array<double>")
-    vecs = df.select(F.col(id_col), v.alias("v"))
+    # _spread: the bucket projection is n_tables*n_bits*dim interpreted
+    # multiply-adds per row (higher-order exprs don't codegen) — spread it
+    # when the scan arrives in fewer partitions than cores.
+    vecs = _spread(df.select(F.col(id_col), v.alias("v")), id_col)
     # All n_tables bucket ids in ONE projection + explode — a single scan of
     # the corpus regardless of table count (a union of per-table branches
     # would re-scan the input n_tables times). Only the narrow
