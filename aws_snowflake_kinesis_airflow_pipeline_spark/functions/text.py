@@ -104,7 +104,13 @@ def dup_word_frac(col: Column | str) -> Column:
     """Fraction of tokens that are repeats of an earlier token — the
     Gopher/Dolma within-document repetition signal (their duplicate-line
     fraction, at word granularity for single-line corpora). 0 = all tokens
-    distinct, →1 = one token repeated throughout."""
+    distinct, →1 = one token repeated throughout.
+
+    Uses the engine-wide single-space tokenizer (TOKEN_SEP), so runs of
+    separators produce empty-string tokens that count as repeats — empty
+    or whitespace-padded documents deliberately score as maximally
+    repetitive (a quality gate should drop them, and these are the signals
+    such a gate thresholds on)."""
     t = tokens(col)
     return (F.size(t) - F.size(F.array_distinct(t))) / F.greatest(
         F.size(t), F.lit(1)

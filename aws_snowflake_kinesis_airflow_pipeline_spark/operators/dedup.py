@@ -39,7 +39,17 @@ def _spread(df: DataFrame, *cols: str) -> DataFrame:
     (measured 3.3 s -> 0.6 s on the sf0.1 shingle index). At 100 TB the
     input arrives in thousands of file splits, the guard is false, and no
     extra text-carrying shuffle is ever added.
+
+    The partition probe (df.rdd) is only safe on shuffle-free plans: under
+    AQE, materializing the RDD of a plan that contains an Exchange executes
+    its shuffle stages at plan-construction time. A shuffled input is
+    already parallelized to spark.sql.shuffle.partitions, so when the
+    physical plan shows an Exchange we skip both the probe and the
+    repartition.
     """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

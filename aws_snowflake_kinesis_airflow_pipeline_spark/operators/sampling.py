@@ -84,8 +84,13 @@ def deterministic_shuffle(
     At scale this is one range-partitioned sort (Spark samples hash bounds,
     then each partition sorts locally); downstream sequence packing /
     sharded writers consume the order partition-by-partition without any
-    further shuffle. Ties (duplicate keys) are broken by the key itself so
-    the order is total and deterministic.
+    further shuffle.
+
+    Contract: ``key_col`` must uniquely identify rows (a document id). The
+    sort key is (xxhash64(seed, key), key), which is total for unique keys;
+    rows *sharing* a key value tie on both components and their relative
+    order would again be partition-dependent — dedup first (this module's
+    neighbors exist for exactly that).
     """
     c = F.col(key_col)
     return df.orderBy(F.xxhash64(F.lit(seed), c), c)

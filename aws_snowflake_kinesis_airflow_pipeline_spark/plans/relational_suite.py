@@ -632,6 +632,6 @@ def b10_explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# B13 text statistics live in llm_suite (c8_text_features, c10_quality,
+# B13 text statistics live in llm_suite (c8_text_features pack,
 # c11_lang_id_histogram) — the per-document text operators plus their
 # grouped aggregates, all oracle-paired there.
