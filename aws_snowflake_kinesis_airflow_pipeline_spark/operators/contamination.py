@@ -61,3 +61,24 @@ def benchmark_ngram_overlap(
             F.round(F.col("n_contaminated") / F.col("n_shingles"), 4),
         )
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_contamination: float = 0.1,
+) -> DataFrame:
+    """The end-to-end action: drop every corpus row whose benchmark-shingle
+    overlap exceeds ``max_contamination``, keep everything else (including
+    docs too short to shingle — no shingles means nothing to leak). One
+    broadcast-hash semi-join shape: the overlap stats never leave the
+    cluster, and the surviving rows keep all their columns.
+    """
+    flagged = benchmark_ngram_overlap(corpus, benchmark, id_col, text_col, k)
+    drop = flagged.filter(
+        F.col("contamination") > max_contamination
+    ).select(id_col)
+    return corpus.join(drop, id_col, "left_anti")

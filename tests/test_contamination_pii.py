@@ -90,3 +90,27 @@ def test_contamination_plan_broadcasts_benchmark(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_drops_only_contaminated(spark):
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.contamination import (
+        decontaminate,
+    )
+
+    bench = _df(spark, [(1, "alpha beta gamma delta epsilon zeta")])
+    corpus = _df(
+        spark,
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),  # 100% contaminated
+            (11, "one two three four five six seven"),  # clean
+            (12, "zero alpha beta gamma nine ten eleven"),  # 20% — below cut
+            (13, "ab"),  # too short to shingle: must survive
+        ],
+    )
+    kept = {
+        r["doc_id"]
+        for r in decontaminate(
+            corpus, bench, max_contamination=0.5
+        ).collect()
+    }
+    assert kept == {11, 12, 13}
