@@ -23,6 +23,8 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -522,18 +524,47 @@ def cosine_col(a, b) -> F.Column:
     return F.when(denom > 0, dot / denom)
 
 
-def hyperplane_bucket(vec_col, planes: list[list[float]]) -> F.Column:
-    """Sign-bit bucket id from random hyperplanes (int with n_bits bits)."""
-    bucket = F.lit(0)
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        d = F.aggregate(
-            F.zip_with(vec_col, p, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(0)
-    return bucket
+def hyperplane_buckets_udf(planes_by_table: list[list[list[float]]]):
+    """Arrow-batched sign-bucket assignment for one or more hyperplane
+    tables: returns a pandas_udf mapping an ``array<double>`` column to
+    ``array<int>`` with one bucket id per table.
+
+    Why a pandas UDF and not array expressions: the bucket id is
+    ``n_tables * n_bits`` dot products of ``dim`` terms per row, and
+    higher-order array functions (``aggregate``/``zip_with``) are
+    interpreted, not codegen'd — at 4 tables x 8 bits x 64 dims that is
+    ~2k interpreted multiply-adds per row. One numpy matmul per Arrow
+    batch does the same work vectorized (measured ~10x on the sf0.1
+    bucket projection). NULL vectors and vectors of the wrong length get
+    bucket 0 in every table, matching what the expression formulation
+    produced (NULL dot -> no bit set); exact-cosine verification
+    downstream filters them out.
+    """
+    n_tables = len(planes_by_table)
+    n_bits = len(planes_by_table[0])
+    dim = len(planes_by_table[0][0])
+    proj = np.concatenate(
+        [np.asarray(p, dtype=np.float64).T for p in planes_by_table], axis=1
+    )  # (dim, n_tables * n_bits)
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+
+    @F.pandas_udf("array<int>")
+    def _buckets(vs: pd.Series) -> pd.Series:
+        n = len(vs)
+        mat = np.zeros((n, dim), dtype=np.float64)
+        valid = np.zeros(n, dtype=bool)
+        for i, v in enumerate(vs):
+            if v is not None and len(v) == dim:
+                mat[i] = v
+                valid[i] = True
+        bits = (mat @ proj) > 0
+        bits &= valid[:, None]
+        out = np.empty((n, n_tables), dtype=np.int32)
+        for t in range(n_tables):
+            out[:, t] = bits[:, t * n_bits : (t + 1) * n_bits] @ weights
+        return pd.Series(list(out))
+
+    return _buckets
 
 
 def embedding_near_dup_pairs(
@@ -553,29 +584,25 @@ def embedding_near_dup_pairs(
     are verified with exact cosine, so precision is exact.
     """
     v = F.col(vec_col).cast("array<double>")
-    # _spread: the bucket projection is n_tables*n_bits*dim interpreted
-    # multiply-adds per row (higher-order exprs don't codegen) — spread it
-    # when the scan arrives in fewer partitions than cores.
+    # _spread: the bucket projection is one Arrow round-trip + numpy matmul
+    # per batch; spread it when the scan arrives in fewer partitions than
+    # cores so batches run on all of them.
     vecs = _spread(df.select(F.col(id_col), v.alias("v")), id_col)
-    # All n_tables bucket ids in ONE projection + explode — a single scan of
-    # the corpus regardless of table count (a union of per-table branches
+    # All n_tables bucket ids in ONE projection + posexplode — a single scan
+    # of the corpus regardless of table count (a union of per-table branches
     # would re-scan the input n_tables times). Only the narrow
     # (id, table, bucket) triple is materialized (localCheckpoint) for the
     # self-join: carrying the vectors through bucket matching would shuffle
     # every embedding n_tables times; this way full vectors are only
     # fetched for the candidate pairs that survive bucketing.
-    table_structs = [
-        F.struct(
-            F.lit(t).alias("table_id"),
-            hyperplane_bucket(
-                F.col("v"), _hyperplanes(dim, n_bits, seed + t * 1000)
-            ).alias("bucket"),
-        )
-        for t in range(n_tables)
-    ]
+    bucket_fn = hyperplane_buckets_udf(
+        [_hyperplanes(dim, n_bits, seed + t * 1000) for t in range(n_tables)]
+    )
     buckets = (
-        vecs.select(id_col, F.explode(F.array(*table_structs)).alias("tb"))
-        .select(id_col, F.col("tb.table_id"), F.col("tb.bucket"))
+        vecs.select(
+            id_col,
+            F.posexplode(bucket_fn(F.col("v"))).alias("table_id", "bucket"),
+        )
         .localCheckpoint()
     )
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _hyperplanes, _spread, cosine_col, hyperplane_bucket
+from .dedup import _hyperplanes, _spread, cosine_col, hyperplane_buckets_udf
 
 
 def _query_array(query_vec: list[float]) -> F.Column:
@@ -55,11 +55,11 @@ def with_lsh_buckets(
     column becomes the table's bucketBy/partitionBy key so probes prune."""
     planes = _hyperplanes(dim, n_bits, seed)
     v = F.col(vec_col).cast("array<double>")
-    # Bucket assignment is n_bits*dim interpreted multiply-adds per row;
-    # spread it across cores when the scan arrives under-partitioned.
-    return _spread(df).withColumn(
-        "lsh_bucket", hyperplane_bucket(v, planes)
-    )
+    # Bucket assignment is a numpy matmul per Arrow batch (see
+    # hyperplane_buckets_udf); spread it across cores when the scan
+    # arrives under-partitioned.
+    bucket_fn = hyperplane_buckets_udf([planes])
+    return _spread(df).withColumn("lsh_bucket", bucket_fn(v).getItem(0))
 
 
 def _bucket_of(query_vec: list[float], n_bits: int, dim: int, seed: int) -> int:

@@ -58,6 +58,21 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def release_blocks(spark) -> None:
+    """Unpersist blocks left behind by localCheckpoint'd intermediates.
+
+    Several dedup/ANN operators localCheckpoint a narrow intermediate
+    (shingle index, LSH buckets) so one query computes it once. Those
+    blocks are only reclaimed when the JVM-side RDD is garbage-collected,
+    which py4j defers — over a 50-query run they pile up in the block
+    manager and the resulting memory pressure inflates later queries'
+    times (~2x observed at sf0.1). Queries are independent, so dropping
+    finished queries' blocks between measurements is pure harness hygiene.
+    """
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(False)
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     # Warm-up: JVM JIT + parquet footer caches, not measured.
@@ -68,6 +83,7 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(q.fn(spark, SF_DIR))
         times[name] = round(time.perf_counter() - t0, 3)
+        release_blocks(spark)
 
     total = round(sum(times.values()), 3)
     suites: dict[str, float] = {}
