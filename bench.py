@@ -20,6 +20,8 @@ import re
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from aws_snowflake_kinesis_airflow_pipeline_spark.plans.registry import QUERIES
@@ -70,13 +72,35 @@ def release_blocks(spark) -> None:
     finished queries' blocks between measurements is pure harness hygiene.
     """
     for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        rdd.unpersist(False)
+        # Blocking removal: async unpersist lands its block-removal work
+        # inside whichever later query happens to be running, adding
+        # run-to-run noise to that query's measurement.
+        rdd.unpersist(True)
+
+
+def warm_python_workers(spark) -> None:
+    """Fork the Python UDF worker daemons before measuring.
+
+    The first pandas_udf evaluation in a session forks one Python worker
+    per core and initializes Arrow in each (~8 s on local[32]) — session
+    infrastructure, same class as JVM JIT, that would otherwise be charged
+    entirely to whichever UDF query happens to run first."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _noop(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(0, 32 * 64, 1, 32).select(_noop("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
 
 def main() -> None:
     spark = get_spark(app_name="bench")
-    # Warm-up: JVM JIT + parquet footer caches, not measured.
+    # Warm-up: JVM JIT + parquet footer caches + UDF workers, not measured.
     materialize(QUERIES["ref_daily_event_summary"].fn(spark, SF_DIR))
+    warm_python_workers(spark)
 
     times: dict[str, float] = {}
     for name, q in QUERIES.items():
