@@ -524,6 +524,53 @@ def cosine_col(a, b) -> F.Column:
     return F.when(denom > 0, dot / denom)
 
 
+def cosine_pairs_udf():
+    """Arrow-batched exact cosine over two ``array<double>`` columns.
+
+    The near-dup verification step scores every candidate pair that
+    survives LSH bucketing — the one place where exact cosine runs at
+    candidate-pair volume (at 100 TB: billions of pairs). The interpreted
+    ``aggregate``/``zip_with`` formulation (:func:`cosine_col`) costs
+    ~3 x dim interpreted ops per pair; here each Arrow batch is two numpy
+    matrices and one einsum. NULL inputs, length-mismatched pairs, and
+    zero vectors all yield NULL (NaN in the returned float64 Series maps
+    to SQL NULL across the Arrow boundary), matching cosine_col.
+    """
+
+    @F.pandas_udf("double")
+    def _cos(v1: pd.Series, v2: pd.Series) -> pd.Series:
+        n = len(v1)
+        dim = 0
+        for v in v1:
+            if v is not None and len(v) > 0:
+                dim = len(v)
+                break
+        if dim == 0:
+            return pd.Series(np.full(n, np.nan))
+        a = np.zeros((n, dim))
+        b = np.zeros((n, dim))
+        valid = np.zeros(n, dtype=bool)
+        for i in range(n):
+            x, y = v1.iloc[i], v2.iloc[i]
+            if (
+                x is not None
+                and y is not None
+                and len(x) == dim
+                and len(y) == dim
+            ):
+                a[i] = x
+                b[i] = y
+                valid[i] = True
+        dots = np.einsum("ij,ij->i", a, b)
+        denom = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        ok = valid & (denom > 0)
+        out = np.full(n, np.nan)
+        np.divide(dots, denom, out=out, where=ok)
+        return pd.Series(out)
+
+    return _cos
+
+
 def hyperplane_buckets_udf(planes_by_table: list[list[list[float]]]):
     """Arrow-batched sign-bucket assignment for one or more hyperplane
     tables: returns a pandas_udf mapping an ``array<double>`` column to
@@ -618,10 +665,11 @@ def embedding_near_dup_pairs(
     )
     v1 = vecs.select(F.col(id_col).alias("id1"), F.col("v").alias("v1"))
     v2 = vecs.select(F.col(id_col).alias("id2"), F.col("v").alias("v2"))
+    cos = cosine_pairs_udf()
     return (
         candidates.join(v1, "id1")
         .join(v2, "id2")
-        .withColumn("cosine", F.round(cosine_col(F.col("v1"), F.col("v2")), 4))
+        .withColumn("cosine", F.round(cos(F.col("v1"), F.col("v2")), 4))
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )

@@ -169,6 +169,42 @@ def test_zero_vector_cosine_is_null_not_nan(spark):
     assert all(3 not in p and 4 not in p for p in pairs)
 
 
+def test_cosine_pairs_udf_matches_expression_and_null_contract(spark):
+    """The Arrow-batched verify kernel must agree with the expression form
+    (cosine_col) to float tolerance and share its NULL contract: NULL in,
+    zero vector, or length mismatch -> NULL out (never NaN — NaN sorts
+    above every number and would pass any >= threshold filter)."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)],
+         [rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(50)
+    ]
+    rows += [
+        (100, None, [1.0] * 8),          # NULL in
+        (101, [0.0] * 8, [1.0] * 8),     # zero vector
+        (102, [1.0] * 4, [1.0] * 8),     # length mismatch
+    ]
+    df = spark.createDataFrame(
+        rows, "pid long, v1 array<double>, v2 array<double>"
+    )
+    got = df.select(
+        "pid",
+        dedup.cosine_pairs_udf()(F.col("v1"), F.col("v2")).alias("c_udf"),
+        dedup.cosine_col(F.col("v1"), F.col("v2")).alias("c_expr"),
+    ).collect()
+    for r in got:
+        if r["pid"] >= 100:
+            assert r["c_udf"] is None and r["c_expr"] is None, r
+        else:
+            assert r["c_udf"] is not None
+            assert not math.isnan(r["c_udf"])
+            assert math.isclose(r["c_udf"], r["c_expr"], abs_tol=1e-12), r
+
+
 def test_simhash_pigeonhole_holds_above_three(spark):
     """max_hamming > 3 must still find every pair within the bound — the
     chunk count has to scale with the bound (4 fixed chunks would miss a
