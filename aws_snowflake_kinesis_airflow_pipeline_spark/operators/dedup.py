@@ -110,16 +110,27 @@ def shingle_index(
 ) -> DataFrame:
     """(id, shingle) inverted index — distinct word-k-gram per document,
     with the shingle stored as its 64-bit xxhash64 rather than the string:
-    the distinct and every downstream equality join / doc-freq count then
-    shuffle and compare 8-byte longs instead of k-gram text. Cross-shingle
-    hash collisions perturb Jaccard with probability ~|shingles|^2 / 2^64
-    (never observed at fixture scale; deterministic when they do occur)."""
+    every downstream equality join / doc-freq count then shuffles and
+    compares 8-byte longs instead of k-gram text. Cross-shingle hash
+    collisions perturb Jaccard with probability ~|shingles|^2 / 2^64
+    (never observed at fixture scale; deterministic when they do occur).
+
+    Per-document uniqueness comes from ``array_distinct`` BEFORE the
+    explode: distinctness is only ever per (id, shingle) — a row-local
+    property — so deduplicating inside the array replaces what was a
+    global ``.distinct()`` shuffle of the entire exploded corpus (~50x
+    the text volume at 100 TB) with a per-row hash-set pass and leaves
+    the index pipeline shuffle-free."""
     return (
         _spread(df.select(id_col, text_col), id_col)
-        .select(id_col, word_shingles(tokens(text_col), k).alias("shingles"))
+        .select(
+            id_col,
+            F.array_distinct(word_shingles(tokens(text_col), k)).alias(
+                "shingles"
+            ),
+        )
         .select(id_col, F.explode("shingles").alias("sh_str"))
         .select(id_col, F.xxhash64("sh_str").alias("shingle"))
-        .distinct()
     )
 
 

@@ -71,6 +71,29 @@ def test_exact_dedup_exchange_on_fingerprint(spark, sf_dir):
     assert exchanges and all("_key_fp" in l for l in exchanges)
 
 
+def test_shingle_index_is_shuffle_free(spark, sf_dir):
+    """Per-document shingle uniqueness must come from array_distinct inside
+    the row, not a global distinct: at 100 TB a distinct over the exploded
+    index would shuffle ~50x the text volume. The only admissible exchange
+    is _spread's under-partitioned-scan repartition, which short-circuits
+    on multi-split inputs."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.catalog import load_table
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.dedup import (
+        shingle_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = (
+        shingle_index(docs, "doc_id", "text", 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert all("REPARTITION_BY_NUM" in l for l in exchanges), exchanges
+    assert "Aggregate" not in plan
+
+
 def test_q6_all_predicates_push_to_scan(spark, sf_dir):
     """TPC-H Q6 (unregistered bench specimen): all four predicates must
     reach the parquet scan as pushed filters."""
