@@ -105,32 +105,37 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def doc_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document hashed shingle set: (id, ``hs: array<long>``) where
+    ``hs`` holds the xxhash64 of each distinct word-k-gram.
+
+    The row-local root of the whole text-dedup family: the inverted index
+    is ``explode(hs)``, per-document set sizes are ``size(hs)``, and
+    MinHash signatures are a vectorized reduction over ``hs`` — all three
+    derive from this one projection with ZERO shuffles (distinctness is
+    per-document, so ``array_distinct`` inside the row replaces what was
+    a global distinct over the exploded corpus). Shingles travel as
+    8-byte longs from here on; cross-shingle hash collisions perturb
+    Jaccard with probability ~|shingles|^2 / 2^64 (never observed at
+    fixture scale; deterministic when they do occur)."""
+    return _spread(df.select(id_col, text_col), id_col).select(
+        id_col,
+        F.transform(
+            F.array_distinct(word_shingles(tokens(text_col), k)),
+            lambda s: F.xxhash64(s),
+        ).alias("hs"),
+    )
+
+
 def shingle_index(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
-    """(id, shingle) inverted index — distinct word-k-gram per document,
-    with the shingle stored as its 64-bit xxhash64 rather than the string:
-    every downstream equality join / doc-freq count then shuffles and
-    compares 8-byte longs instead of k-gram text. Cross-shingle hash
-    collisions perturb Jaccard with probability ~|shingles|^2 / 2^64
-    (never observed at fixture scale; deterministic when they do occur).
-
-    Per-document uniqueness comes from ``array_distinct`` BEFORE the
-    explode: distinctness is only ever per (id, shingle) — a row-local
-    property — so deduplicating inside the array replaces what was a
-    global ``.distinct()`` shuffle of the entire exploded corpus (~50x
-    the text volume at 100 TB) with a per-row hash-set pass and leaves
-    the index pipeline shuffle-free."""
-    return (
-        _spread(df.select(id_col, text_col), id_col)
-        .select(
-            id_col,
-            F.array_distinct(word_shingles(tokens(text_col), k)).alias(
-                "shingles"
-            ),
-        )
-        .select(id_col, F.explode("shingles").alias("sh_str"))
-        .select(id_col, F.xxhash64("sh_str").alias("shingle"))
+    """(id, shingle) inverted index — one row per distinct word-k-gram per
+    document (see :func:`doc_shingles`; this is its exploded form)."""
+    return doc_shingles(df, id_col, text_col, k).select(
+        id_col, F.explode("hs").alias("shingle")
     )
 
 
@@ -143,6 +148,7 @@ def ngram_jaccard_pairs(
     candidates: DataFrame | None = None,
     index: DataFrame | None = None,
     max_doc_freq: int | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-k-gram Jaccard >= threshold pairs (id1 < id2).
 
@@ -154,8 +160,11 @@ def ngram_jaccard_pairs(
 
     ``candidates``: optional (id1, id2) DataFrame to restrict verification
     to (the LSH path); None verifies all co-shingled pairs.
-    ``index``: optional prebuilt (cached) shingle index to reuse across the
-    signature and verification passes.
+    ``index``: optional prebuilt (materialized) shingle index to reuse
+    across passes.
+    ``sizes``: optional per-doc set sizes (id, n_sh) to go with ``index``;
+    without it (index supplied alone) sizes fall back to a groupBy over
+    the index.
     ``max_doc_freq``: the 100 TB blowup guard — drop shingles appearing in
     more than this many documents from the *pairing* side (a shingle shared
     by thousands of docs generates O(df^2) candidate pairs and carries no
@@ -163,17 +172,23 @@ def ngram_jaccard_pairs(
     estimated Jaccard for pairs whose sole overlap is boilerplate — by
     design. Default None preserves exact semantics (and oracle parity).
     """
-    # localCheckpoint (not cache): materializes the index once for the
-    # sizes + pairing + verification passes, truncates lineage, and is
-    # released by the ContextCleaner when the result is GC'd — repeated
-    # suite runs in one session don't accumulate cache entries (cache()
-    # here re-registered an identical plan every call and warned).
-    sh = (
-        index
-        if index is not None
-        else shingle_index(df, id_col, text_col, k).localCheckpoint()
-    )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    if index is not None:
+        sh = index
+        # Row-local sizes aren't recoverable from an exploded index
+        # without re-aggregating.
+        if sizes is None:
+            sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    else:
+        # localCheckpoint (not cache): materializes the per-doc shingle
+        # sets once for the sizes + pairing + verification passes,
+        # truncates lineage, and is released by the ContextCleaner when
+        # the result is GC'd — repeated suite runs in one session don't
+        # accumulate cache entries (cache() here re-registered an
+        # identical plan every call and warned).
+        per_doc = doc_shingles(df, id_col, text_col, k).localCheckpoint()
+        sh = per_doc.select(id_col, F.explode("hs").alias("shingle"))
+        if sizes is None:
+            sizes = per_doc.select(id_col, F.size("hs").alias("n_sh"))
     if max_doc_freq is not None:
         hot = (
             sh.groupBy("shingle")
@@ -224,33 +239,96 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------------
 
 
+_SPLITMIX_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(z: "np.ndarray") -> "np.ndarray":
+    """SplitMix64 finalizer (public-domain mixing constants) — full-avalanche
+    64-bit mix, vectorized over a uint64 array (numpy wraps unsigned
+    overflow silently, which is exactly the mod-2^64 arithmetic wanted)."""
+    z = z ^ (z >> np.uint64(30))
+    z = z * np.uint64(0xBF58476D1CE4E5B9)
+    z = z ^ (z >> np.uint64(27))
+    z = z * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def minhash_mins_udf(num_hashes: int = 64, seed: int = 1):
+    """Arrow-batched MinHash reduction: ``array<long>`` of base shingle
+    hashes -> ``array<long>`` of ``num_hashes`` minima, where hash family
+    i is ``splitmix64(h ^ seed_i)`` under unsigned comparison.
+
+    Per Arrow batch the whole reduction is a flatten + broadcast-mix +
+    ``np.minimum.reduceat`` — no per-row Python, no groupBy: signatures
+    are computed where the document row already lives. (The previous
+    formulation shuffled the exploded index into a collect_list per doc
+    and ran num_hashes x |shingles| interpreted xxhash64 calls per row.)
+    Rows with an empty shingle array yield NULL (caller filters — a doc
+    with < k tokens has no signature, matching the old groupBy dropout).
+    """
+    seeds = _splitmix64(
+        (np.arange(1, num_hashes + 1, dtype=np.uint64) + np.uint64(seed))
+        * _SPLITMIX_GOLDEN
+    )
+
+    @F.pandas_udf("array<long>")
+    def _mins(hs: pd.Series) -> pd.Series:
+        n = len(hs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        lengths = np.fromiter(
+            (0 if v is None else len(v) for v in hs), dtype=np.int64, count=n
+        )
+        nonempty = lengths > 0
+        arrays = [
+            np.asarray(v, dtype=np.int64)
+            for v, ok in zip(hs, nonempty)
+            if ok
+        ]
+        out = np.full(n, None, dtype=object)
+        if arrays:
+            flat = np.concatenate(arrays).view(np.uint64)
+            seg_lens = lengths[nonempty]
+            starts = np.zeros(len(seg_lens), dtype=np.int64)
+            np.cumsum(seg_lens[:-1], out=starts[1:])
+            mins = np.empty((len(seg_lens), num_hashes), dtype=np.uint64)
+            # Chunk the hash axis so the (n_shingles x chunk) mix matrix
+            # stays small regardless of batch size.
+            chunk = 16
+            for j0 in range(0, num_hashes, chunk):
+                sd = seeds[j0 : j0 + chunk]
+                mixed = _splitmix64(flat[:, None] ^ sd[None, :])
+                mins[:, j0 : j0 + len(sd)] = np.minimum.reduceat(
+                    mixed, starts, axis=0
+                )
+            signed = mins.view(np.int64)
+            for row, i in zip(signed, np.flatnonzero(nonempty)):
+                out[i] = row
+        return pd.Series(out)
+
+    return _mins
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 64,
     k: int = 3,
-    index: DataFrame | None = None,
+    per_doc: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-document MinHash signature as ``mins: array<long>`` where
-    mins[i] = min over shingles of xxhash64(i, h) and h is the shingle's
-    base hash (the index already stores shingles hashed).
-
-    One narrow aggregate (collect the per-shingle base hashes) + one array
-    projection for all ``num_hashes`` rehashes — a single shuffle, and a
-    small codegen unit regardless of signature width (the 64-separate-min-
-    aggregates formulation spent ~1s per run just compiling)."""
-    sh = index if index is not None else shingle_index(df, id_col, text_col, k)
-    return (
-        sh.groupBy(id_col)
-        .agg(F.collect_list("shingle").alias("_hs"))
-        .select(
-            id_col,
-            F.expr(
-                f"transform(sequence(0, {num_hashes - 1}), "
-                "i -> array_min(transform(_hs, h -> xxhash64(i, h))))"
-            ).alias("mins"),
-        )
+    """Per-document MinHash signature as ``mins: array<long>`` —
+    shuffle-free: shingle sets are row-local (:func:`doc_shingles`) and
+    the ``num_hashes`` minima are one vectorized reduction per Arrow
+    batch (:func:`minhash_mins_udf`). Docs with no shingles (< k tokens)
+    are dropped, as the previous groupBy formulation did implicitly."""
+    src = (
+        per_doc
+        if per_doc is not None
+        else doc_shingles(df, id_col, text_col, k)
+    )
+    return src.filter(F.size("hs") > 0).select(
+        id_col, minhash_mins_udf(num_hashes)(F.col("hs")).alias("mins")
     )
 
 
@@ -269,13 +347,23 @@ def minhash_lsh_pairs(
     1-(1-s^4)^16 (≈ 0.9998 at s=0.8) — the classic S-curve. Candidates come
     from an equality join on (band_id, band_hash); each candidate pair is
     then verified with exact Jaccard so false positives never escape.
+
+    Shuffle inventory (the 100 TB accounting): signatures, set sizes, and
+    the inverted index are all row-local projections of one materialized
+    :func:`doc_shingles` pass — the FIRST exchange in the whole operator
+    is the band-bucket candidate join, and everything after it is sized
+    by candidates, not corpus.
     """
     rows = num_hashes // bands
     # Shared by the signature pass and the exact-Jaccard verification pass;
     # localCheckpoint materializes it once without polluting the session
     # cache (see ngram_jaccard_pairs).
-    sh = shingle_index(df, id_col, text_col, k).localCheckpoint()
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, k, index=sh)
+    per_doc = doc_shingles(df, id_col, text_col, k).localCheckpoint()
+    sh = per_doc.select(id_col, F.explode("hs").alias("shingle"))
+    sizes = per_doc.select(id_col, F.size("hs").alias("n_sh"))
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, k, per_doc=per_doc
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -312,6 +400,7 @@ def minhash_lsh_pairs(
         threshold=threshold,
         candidates=candidates,
         index=sh,
+        sizes=sizes,
     )
 
 

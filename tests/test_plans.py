@@ -94,6 +94,28 @@ def test_shingle_index_is_shuffle_free(spark, sf_dir):
     assert "Aggregate" not in plan
 
 
+def test_minhash_signatures_are_shuffle_free(spark, sf_dir):
+    """Signatures must be computed where the document row lives: shingle
+    sets are row-local arrays and the MinHash reduction is per-Arrow-batch,
+    so the plan may contain no exchange beyond _spread's repartition. (The
+    groupBy/collect_list formulation shuffled the entire exploded index.)"""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.catalog import load_table
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = (
+        minhash_signatures(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert all("REPARTITION_BY_NUM" in l for l in exchanges), exchanges
+    assert "collect_list" not in plan
+
+
 def test_q6_all_predicates_push_to_scan(spark, sf_dir):
     """TPC-H Q6 (unregistered bench specimen): all four predicates must
     reach the parquet scan as pushed filters."""
