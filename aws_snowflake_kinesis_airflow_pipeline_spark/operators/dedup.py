@@ -632,40 +632,39 @@ def cosine_pairs_udf():
     candidate-pair volume (at 100 TB: billions of pairs). The interpreted
     ``aggregate``/``zip_with`` formulation (:func:`cosine_col`) costs
     ~3 x dim interpreted ops per pair; here each Arrow batch is two numpy
-    matrices and one einsum. NULL inputs, length-mismatched pairs, and
-    zero vectors all yield NULL (NaN in the returned float64 Series maps
-    to SQL NULL across the Arrow boundary), matching cosine_col.
+    matrices and one einsum per vector length present in the batch.
+
+    Matches :func:`cosine_col` exactly: any pair whose two vectors are
+    non-NULL and of equal (nonzero) length is scored, whatever that length
+    is; NULL inputs, length-mismatched pairs, and zero vectors all yield
+    NULL (NaN in the returned float64 Series maps to SQL NULL across the
+    Arrow boundary). Rows are grouped by vector length so one short or
+    malformed vector never changes the result for any other row — results
+    are independent of row order within a batch.
     """
 
     @F.pandas_udf("double")
     def _cos(v1: pd.Series, v2: pd.Series) -> pd.Series:
         n = len(v1)
-        dim = 0
-        for v in v1:
-            if v is not None and len(v) > 0:
-                dim = len(v)
-                break
-        if dim == 0:
-            return pd.Series(np.full(n, np.nan))
-        a = np.zeros((n, dim))
-        b = np.zeros((n, dim))
-        valid = np.zeros(n, dtype=bool)
+        out = np.full(n, np.nan)
+        lens = np.full(n, -1, dtype=np.int64)
         for i in range(n):
             x, y = v1.iloc[i], v2.iloc[i]
-            if (
-                x is not None
-                and y is not None
-                and len(x) == dim
-                and len(y) == dim
-            ):
-                a[i] = x
-                b[i] = y
-                valid[i] = True
-        dots = np.einsum("ij,ij->i", a, b)
-        denom = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
-        ok = valid & (denom > 0)
-        out = np.full(n, np.nan)
-        np.divide(dots, denom, out=out, where=ok)
+            if x is not None and y is not None and 0 < len(x) == len(y):
+                lens[i] = len(x)
+        for length in np.unique(lens[lens > 0]):
+            idx = np.nonzero(lens == length)[0]
+            a = np.stack(
+                [np.asarray(v1.iloc[i], dtype=np.float64) for i in idx]
+            )
+            b = np.stack(
+                [np.asarray(v2.iloc[i], dtype=np.float64) for i in idx]
+            )
+            dots = np.einsum("ij,ij->i", a, b)
+            denom = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            vals = np.full(len(idx), np.nan)
+            np.divide(dots, denom, out=vals, where=denom > 0)
+            out[idx] = vals
         return pd.Series(out)
 
     return _cos

@@ -14,6 +14,7 @@ Two paths, same contract (top-k neighbors of a query vector):
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -63,12 +64,18 @@ def with_lsh_buckets(
 
 
 def _bucket_of(query_vec: list[float], n_bits: int, dim: int, seed: int) -> int:
+    """Query-side bucket, computed with the IDENTICAL numpy path (same
+    matmul summation order, same bit packing) as hyperplane_buckets_udf —
+    a sequential Python sum can land on the other side of 0 for dot
+    products near zero, silently disagreeing with the stored bucket."""
     planes = _hyperplanes(dim, n_bits, seed)
-    bucket = 0
-    for i, plane in enumerate(planes):
-        if sum(x * y for x, y in zip(query_vec, plane)) > 0:
-            bucket |= 1 << i
-    return bucket
+    q = np.asarray(query_vec, dtype=np.float64)
+    if q.shape != (dim,):
+        return 0  # matches the UDF's wrong-length degradation
+    proj = np.asarray(planes, dtype=np.float64).T  # (dim, n_bits)
+    bits = (q[None, :] @ proj)[0] > 0
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+    return int(bits @ weights)
 
 
 def ivf_index(

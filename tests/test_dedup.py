@@ -205,6 +205,38 @@ def test_cosine_pairs_udf_matches_expression_and_null_contract(spark):
             assert math.isclose(r["c_udf"], r["c_expr"], abs_tol=1e-12), r
 
 
+def test_cosine_pairs_udf_batch_order_independent(spark):
+    """A malformed (short) vector arriving FIRST in an Arrow batch must not
+    poison the valid pairs behind it, and equal-length pairs of ANY length
+    must be scored — matching cosine_col, which never looks at other rows.
+    (Regression: the kernel once inferred the batch dim from the first
+    non-null row and nulled every pair of a different length.)"""
+    import math
+
+    rows = [
+        (0, [1.0] * 4, [1.0] * 8),     # malformed pair FIRST: len mismatch
+        (1, [3.0] * 4, [3.0] * 4),     # valid at dim 4
+        (2, [1.0, 2.0] * 32, [1.0, 2.0] * 32),  # valid at dim 64
+        (3, [1.0] * 8, [2.0] * 8),     # valid at dim 8
+    ]
+    df = spark.createDataFrame(
+        rows, "pid long, v1 array<double>, v2 array<double>"
+    ).coalesce(1)  # one partition -> one Arrow batch, malformed row first
+    got = {
+        r["pid"]: (r["c_udf"], r["c_expr"])
+        for r in df.select(
+            "pid",
+            dedup.cosine_pairs_udf()(F.col("v1"), F.col("v2")).alias("c_udf"),
+            dedup.cosine_col(F.col("v1"), F.col("v2")).alias("c_expr"),
+        ).collect()
+    }
+    assert got[0] == (None, None)
+    for pid in (1, 2, 3):
+        udf_val, expr_val = got[pid]
+        assert udf_val is not None, f"pid {pid} nulled by batch poisoning"
+        assert math.isclose(udf_val, expr_val, abs_tol=1e-12)
+
+
 def test_simhash_pigeonhole_holds_above_three(spark):
     """max_hamming > 3 must still find every pair within the bound — the
     chunk count has to scale with the bound (4 fixed chunks would miss a

@@ -96,6 +96,22 @@ def test_lsh_topk_on_uniform_fixture_returns_valid_topk(spark, emb_df, emb_np):
     assert cosines == sorted(cosines, reverse=True)
 
 
+def test_query_bucket_matches_stored_bucket_for_every_row(spark, emb_df):
+    """For every indexed vector, probing with that vector as the query must
+    land in its own stored bucket — index-side (numpy matmul in the UDF)
+    and query-side (_bucket_of) bucketing must share one floating-point
+    evaluation order, or near-zero dot products flip sides and recall
+    silently drops. (Regression: _bucket_of once used a sequential Python
+    sum while the index side used BLAS.)"""
+    rows = similarity.with_lsh_buckets(emb_df, "embedding").select(
+        "vec_id", "embedding", "lsh_bucket"
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        qb = similarity._bucket_of(r["embedding"], n_bits=8, dim=64, seed=42)
+        assert qb == r["lsh_bucket"], f"vec {r['vec_id']}: {qb} != {r['lsh_bucket']}"
+
+
 def test_lsh_buckets_deterministic(spark, emb_df):
     a = {
         (r["vec_id"], r["lsh_bucket"])
