@@ -84,6 +84,7 @@ def ivf_index(
     n_clusters: int = 16,
     seed: int = 42,
     max_fit_rows: int = 100_000,
+    fit_fraction: float = 1.0,
 ):
     """IVF (inverted-file) index: KMeans partitions the corpus into
     ``n_clusters`` cells; a query probes only the cells whose centroids are
@@ -91,10 +92,17 @@ def ivf_index(
     ``ivf_cluster`` column — at scale that column becomes the table's
     partition key so probes become partition pruning.
 
-    KMeans is fit on a deterministic sample of at most ``max_fit_rows``
-    rows (centroids converge on a sample; fitting the full corpus would
-    make every KMeans iteration a full-data pass at 100 TB). Assignment is
-    one pass over the full data.
+    KMeans is fit on a bounded subset (centroids converge on a sample;
+    fitting the full corpus would make every KMeans iteration a full-data
+    pass at 100 TB). The subset is taken WITHOUT a counting pre-pass —
+    a ``count()`` here would be one extra all-data job per index build:
+    a seeded Bernoulli ``sample(fit_fraction)`` capped by
+    ``limit(max_fit_rows)``. The limit short-circuits the scan once enough
+    sampled rows arrive, so the fit never reads the whole corpus. Callers
+    indexing data whose on-disk order is correlated with cluster structure
+    should pass ``fit_fraction`` < 1 so the cap draws from a spread of
+    input splits rather than the first files. Assignment is one pass over
+    the full data.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -102,12 +110,10 @@ def ivf_index(
     with_vec = df.withColumn(
         "_v", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
-    n = with_vec.count()
-    fit_df = (
-        with_vec
-        if n <= max_fit_rows
-        else with_vec.sample(fraction=max_fit_rows / n, seed=seed)
-    )
+    fit_df = with_vec
+    if fit_fraction < 1.0:
+        fit_df = fit_df.sample(fraction=fit_fraction, seed=seed)
+    fit_df = fit_df.limit(max_fit_rows)
     model = KMeans(
         k=n_clusters, seed=seed, featuresCol="_v", predictionCol="ivf_cluster"
     ).fit(fit_df)

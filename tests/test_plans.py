@@ -156,3 +156,31 @@ def test_events_column_pruning_through_ns_normalization(spark, sf_dir):
 def test_anti_join_is_join_not_subquery_scan(spark, sf_dir):
     plan = plan_of(spark, "ref_insert_dedup_anti_join", sf_dir)
     assert "LeftAnti" in plan
+
+
+def test_ivf_index_has_no_count_prepass(spark, monkeypatch):
+    """Index build must not run a counting job over the corpus just to size
+    the KMeans fit sample — at 100 TB that is one extra all-data pass per
+    build. The fit set is bounded by sample+limit instead, which
+    short-circuits the scan."""
+    import random as rnd
+
+    from pyspark.sql import DataFrame
+
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators import similarity
+
+    rng = rnd.Random(7)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def no_count(self):
+        raise AssertionError("ivf_index ran a count() pre-pass")
+
+    monkeypatch.setattr(DataFrame, "count", no_count)
+    model, indexed = similarity.ivf_index(
+        emb, "embedding", n_clusters=4, max_fit_rows=150, fit_fraction=0.9
+    )
+    assert len(model.clusterCenters()) == 4
+    assert indexed.where("ivf_cluster IS NULL").isEmpty()
