@@ -72,14 +72,29 @@ def stratified_deterministic_sample(
     return df.filter(cond | other)
 
 
+def shuffle_hash(
+    col: Column | str, seed: int = 0, portable: bool = False
+) -> Column:
+    """The (seed, key) -> int64 hash whose sort order IS the training-order
+    permutation. Default xxhash64 (JVM-native, cheapest). ``portable=True``
+    derives the permutation from md5 instead — bit-identical in any engine
+    (the DuckDB oracle recomputes it), at ~3x the hash cost; use it where
+    an external system must reproduce the order."""
+    c = F.col(col) if isinstance(col, str) else col
+    if portable:
+        h = F.md5(F.concat_ws(":", F.lit(seed), c.cast("string")))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    return F.xxhash64(F.lit(seed), c)
+
+
 def deterministic_shuffle(
-    df: DataFrame, key_col: str, seed: int = 0
+    df: DataFrame, key_col: str, seed: int = 0, portable: bool = False
 ) -> DataFrame:
     """Global pseudo-random training order as a pure function of (seed,
-    key): sort by xxhash64(seed, key). Reproducible on any cluster shape —
-    unlike orderBy(rand()) the order survives reruns, repartitions, and
-    speculative retries, and changing the seed gives an independent epoch
-    permutation.
+    key): sort by shuffle_hash(seed, key). Reproducible on any cluster
+    shape — unlike orderBy(rand()) the order survives reruns, repartitions,
+    and speculative retries, and changing the seed gives an independent
+    epoch permutation.
 
     At scale this is one range-partitioned sort (Spark samples hash bounds,
     then each partition sorts locally); downstream sequence packing /
@@ -87,10 +102,38 @@ def deterministic_shuffle(
     further shuffle.
 
     Contract: ``key_col`` must uniquely identify rows (a document id). The
-    sort key is (xxhash64(seed, key), key), which is total for unique keys;
-    rows *sharing* a key value tie on both components and their relative
-    order would again be partition-dependent — dedup first (this module's
-    neighbors exist for exactly that).
+    sort key is (shuffle_hash(seed, key), key), which is total for unique
+    keys; rows *sharing* a key value tie on both components and their
+    relative order would again be partition-dependent — dedup first (this
+    module's neighbors exist for exactly that).
     """
     c = F.col(key_col)
-    return df.orderBy(F.xxhash64(F.lit(seed), c), c)
+    return df.orderBy(shuffle_hash(c, seed, portable), c)
+
+
+def with_shuffle_rank(
+    df: DataFrame,
+    key_col: str,
+    seed: int = 0,
+    partition_by: list[str] | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """Materialize the deterministic-shuffle position as a ``shuffle_rank``
+    column (1-based within each ``partition_by`` group, e.g. per split) —
+    the checkable form of :func:`deterministic_shuffle`'s ordering.
+
+    ``partition_by`` is required in spirit at scale: an un-partitioned rank
+    is a single-partition window. Feed trainers per-split / per-shard ranks
+    (bounded partitions) or use deterministic_shuffle's range sort, which
+    never materializes a global row number.
+    """
+    from pyspark.sql.window import Window
+
+    c = F.col(key_col)
+    order = [shuffle_hash(c, seed, portable), c]
+    w = (
+        Window.partitionBy(*partition_by).orderBy(*order)
+        if partition_by
+        else Window.orderBy(*order)
+    )
+    return df.withColumn("shuffle_rank", F.row_number().over(w).cast("long"))

@@ -400,28 +400,35 @@ def c11_lang_id_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "c17_train_val_split",
     oracle="""
-    SELECT lang, split, COUNT(*) AS n
+    SELECT doc_id, lang, split,
+           ROW_NUMBER() OVER (
+             PARTITION BY split
+             ORDER BY CAST(CONCAT('0x', SUBSTR(md5(CONCAT('7:', CAST(doc_id AS VARCHAR))), 1, 8))
+                           AS UBIGINT),
+                      doc_id
+           ) AS shuffle_rank
     FROM (
-      SELECT lang,
+      SELECT doc_id, lang,
              CASE WHEN CAST(CONCAT('0x', SUBSTR(md5(CAST(text AS VARCHAR)), 1, 8))
                        AS UBIGINT) % 1000 < 100
                   THEN 'val' ELSE 'train' END AS split
       FROM documents
     )
-    GROUP BY lang, split
     """,
     survey_ref="north-star deterministic train/val split (content-hash "
-    "bucketing — stable across cluster shapes, unlike randomSplit)",
+    "bucketing) + §2 B21 deterministic training-order shuffle: shuffle_rank "
+    "is the per-split position under the portable md5 permutation, "
+    "recomputed bit-for-bit by the oracle",
 )
 def c17_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sampling import with_split
+    from ..operators.sampling import with_shuffle_rank, with_split
 
     docs = _docs(spark, sf_dir)
-    return (
-        with_split(docs, "text", val_fraction=0.1)
-        .groupBy("lang", "split")
-        .agg(F.count("*").alias("n"))
+    split_df = with_split(docs, "text", val_fraction=0.1)
+    ranked = with_shuffle_rank(
+        split_df, "doc_id", seed=7, partition_by=["split"], portable=True
     )
+    return ranked.select("doc_id", "lang", "split", "shuffle_rank")
 
 
 @register(
