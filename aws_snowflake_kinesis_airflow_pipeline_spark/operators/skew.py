@@ -56,10 +56,18 @@ def salted_distinct_count_by_key(
     )
     per_key = per_shard.groupBy(key).agg(F.sum("_d").alias("n_distinct"))
     # keys whose values are all NULL must still appear (with 0), exactly as
-    # groupBy().agg(countDistinct) reports them
-    all_keys = df.select(key).distinct()
-    return all_keys.join(per_key, key, "left").select(
-        key, F.coalesce("n_distinct", F.lit(0)).alias("n_distinct")
+    # groupBy().agg(countDistinct) reports them. The re-attach join must be
+    # NULL-safe: groupBy treats NULL as a real key, but a plain equi-join
+    # would drop it and misreport the NULL key's count as 0.
+    all_keys = df.select(key).distinct().alias("ak")
+    joined = all_keys.join(
+        per_key.alias("pk"),
+        F.col(f"ak.{key}").eqNullSafe(F.col(f"pk.{key}")),
+        "left",
+    )
+    return joined.select(
+        F.col(f"ak.{key}").alias(key),
+        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
     )
 
 
