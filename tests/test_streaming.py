@@ -197,6 +197,123 @@ def test_dq_gate_failure_then_retry_from_checkpoint(spark, dirs):
     assert ev.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
 
 
+def test_ingest_soak_many_microbatches_one_query(spark, dirs):
+    """Soak: ONE checkpointed query driven through >=5 real micro-batches
+    (maxFilesPerTrigger=1), mirroring the reference's hourly cadence as a
+    sequence rather than a single availableNow shot. Summary correctness is
+    re-asserted after EVERY batch, per-batch metrics are recorded, and
+    overlapping waves (at-least-once replays across batches) must dedup."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.relational import (
+        daily_event_summary,
+    )
+
+    landing, warehouse = dirs
+    all_events = rate_events.event_batch(spark, 500)
+    # five overlapping waves: wave i replays every earlier wave's rows
+    for i in range(5):
+        json_landing.write_landing_batch(all_events.limit(100 * (i + 1)), landing)
+
+    summary_checks: list[int] = []
+
+    class CheckedPipeline(IngestPipeline):
+        def process_batch(self, batch_df, batch_id):
+            super().process_batch(batch_df, batch_id)
+            ev = self._read_events_table()
+            if ev is None:
+                return
+            got = {
+                (r["event_date"], r["event_type"]): r["event_count"]
+                for r in self.summary_table().collect()
+            }
+            want = {
+                (r["event_date"], r["event_type"]): r["event_count"]
+                for r in daily_event_summary(ev).collect()
+            }
+            assert got == want, f"summary wrong after batch {batch_id}"
+            summary_checks.append(batch_id)
+
+    pipe = CheckedPipeline(spark, landing, warehouse)
+    q = pipe.start(available_now=True, max_files_per_trigger=1)
+    q.awaitTermination()
+
+    assert pipe.stats.batches >= 5  # genuinely micro-batched, not one shot
+    assert len(summary_checks) == pipe.stats.batches
+    # per-batch metrics: monotone batch ids, per-batch seen/inserted recorded
+    ids = [h["batch_id"] for h in pipe.stats.history]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    assert pipe.stats.rows_seen == sum(h["seen"] for h in pipe.stats.history)
+    assert pipe.stats.rows_seen == 100 + 200 + 300 + 400 + 500
+    # replays across batches deduped: exactly the 500 unique events remain
+    assert pipe.stats.rows_inserted == 500
+    assert pipe.events_table().count() == 500
+    assert (
+        pipe.events_table()
+        .groupBy("event_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        == 0
+    )
+
+
+def test_dedup_state_stays_bounded_across_batches(spark, tmp_path):
+    """Soak for B16: dropDuplicatesWithinWatermark state must be EVICTED as
+    the watermark advances, not accumulate one row per key forever. Six
+    micro-batches, each an hour of event time apart at a 10-minute
+    watermark: the state store may hold the recent horizon's keys, never
+    all 600."""
+    src_dir = tmp_path / "dedup_soak_src"
+    src_dir.mkdir()
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    n_files, per_file = 6, 100
+    for i in range(n_files):
+        rows = [
+            (
+                i * per_file + j,
+                BASE_TS + dt.timedelta(hours=i, seconds=j),
+                1,
+                "view",
+            )
+            for j in range(per_file)
+        ]
+        # plant an in-batch duplicate key (must be dropped by state)
+        rows.append(rows[0])
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src_dir))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    q = (
+        W.dedup_within_watermark(stream, ["event_id"])
+        .writeStream.format("memory")
+        .queryName("t_dedup_soak")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    state_rows = [
+        op["numRowsTotal"]
+        for p in (json.loads(x.json) for x in q.recentProgress)
+        for op in p.get("stateOperators", [])
+        if op.get("numRowsTotal") is not None
+    ]
+    assert state_rows, "no state-operator metrics reported"
+    # bounded: state never approaches one row per key ever seen
+    assert max(state_rows) < n_files * per_file
+    # and keys older than the watermark horizon were actually evicted
+    assert state_rows[-1] <= 2 * (per_file + 1)
+    # every batch's rows emitted exactly once; planted dups dropped
+    out = spark.table("t_dedup_soak")
+    assert out.count() == n_files * per_file
+    assert out.select("event_id").distinct().count() == n_files * per_file
+
+
 def test_incremental_summary_across_batches(spark, dirs):
     """Summary refresh recomputes only batch-touched dates but must equal a
     full recomputation after multiple batches spanning overlapping dates."""
