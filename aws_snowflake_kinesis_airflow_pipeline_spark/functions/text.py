@@ -10,9 +10,17 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: Tokenizer used consistently engine-wide: single-space split matches the
-#: fixture corpus; swap for r"\s+" regex split on messier corpora.
-TOKEN_SEP = " "
+#: Tokenizer used consistently engine-wide: any-whitespace regex split of
+#: the trimmed text — tabs/newlines/runs of spaces all separate tokens and
+#: never produce empty-string tokens (a single-space split silently did on
+#: padded or multi-space text). Empty/whitespace-only documents tokenize to
+#: one empty token (matching STRING_SPLIT_REGEX in the DuckDB oracle).
+TOKEN_SPLIT_RE = r"\s+"
+
+#: Codepoint ranges of no-space scripts (CJK ideographs, kana, hangul):
+#: whitespace tokenization degenerates there (one giant token), so shingle
+#: operators fall back to character n-grams (see char_shingles).
+NO_SPACE_SCRIPT_RE = r"[一-鿿぀-ヿ가-힣]"
 
 #: BPE-ish lexer: words of alphanumerics OR single non-space punctuation —
 #: the classic pre-tokenization regex shape used by byte-pair encoders.
@@ -32,7 +40,8 @@ ENGLISH_STOPWORDS = LANG_MARKERS["en"] + ["a", "an", "on", "at", "by", "as"]
 
 
 def tokens(col: Column | str) -> Column:
-    return F.split(F.col(col) if isinstance(col, str) else col, TOKEN_SEP)
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), TOKEN_SPLIT_RE)
 
 
 def token_count(col: Column | str) -> Column:
@@ -69,6 +78,37 @@ def word_shingles(tokens_col: Column, k: int = 3) -> Column:
     )
 
 
+def char_shingles(col: Column | str, k: int = 5) -> Column:
+    """Character k-gram shingles of the normalized text (empty when the
+    text is shorter than k) — the shingle unit for no-space scripts, where
+    a word shingle would be one giant token and the document would silently
+    vanish from every dedup/similarity signal. Pure array expression
+    (sequence of offsets -> substr), no explode, no UDF."""
+    c = normalize_text(col)
+    n = F.length(c)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.substr(c, i, F.lit(k)),
+    )
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def adaptive_shingles(
+    col: Column | str, k: int = 3, k_chars: int = 5
+) -> Column:
+    """Word k-gram shingles, falling back to character ``k_chars``-grams
+    for documents containing no-space-script codepoints (CJK) — the
+    multilingual-honest shingle unit used by the dedup family. The branch
+    is per-document and purely expression-level; corpora without CJK text
+    take the word path everywhere (and match the word-shingle SQL
+    oracles)."""
+    c = F.col(col) if isinstance(col, str) else col
+    has_no_space_script = F.regexp_count(c, F.lit(NO_SPACE_SCRIPT_RE)) > 0
+    return F.when(has_no_space_script, char_shingles(c, k_chars)).otherwise(
+        word_shingles(tokens(c), k)
+    )
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace,
     trim."""
@@ -86,9 +126,14 @@ def doc_fingerprint(col: Column | str) -> Column:
 
 
 def punct_ratio(col: Column | str) -> Column:
-    """Fraction of characters that are not alphanumeric-or-space."""
+    """Fraction of characters that are not letter/digit/whitespace.
+
+    Unicode categories (\\p{L}/\\p{N}), not [a-zA-Z0-9]: accented letters
+    and CJK ideographs are letters, not punctuation — the ASCII form
+    scored every non-English document as ~100% punctuation and tanked its
+    quality score."""
     c = F.col(col) if isinstance(col, str) else col
-    stripped = F.regexp_replace(c, r"[^a-zA-Z0-9 ]", "")
+    stripped = F.regexp_replace(c, r"[^\p{L}\p{N}\s]", "")
     return (F.length(c) - F.length(stripped)) / F.greatest(F.length(c), F.lit(1))
 
 
@@ -106,11 +151,10 @@ def dup_word_frac(col: Column | str) -> Column:
     fraction, at word granularity for single-line corpora). 0 = all tokens
     distinct, →1 = one token repeated throughout.
 
-    Uses the engine-wide single-space tokenizer (TOKEN_SEP), so runs of
-    separators produce empty-string tokens that count as repeats — empty
-    or whitespace-padded documents deliberately score as maximally
-    repetitive (a quality gate should drop them, and these are the signals
-    such a gate thresholds on)."""
+    Uses the engine-wide whitespace tokenizer (trim + \\s+ split), so
+    separator runs and padding never fabricate empty-string "repeats";
+    empty documents score 0 here and are gated by the length component of
+    quality_score instead."""
     t = tokens(col)
     return (F.size(t) - F.size(F.array_distinct(t))) / F.greatest(
         F.size(t), F.lit(1)
@@ -133,7 +177,7 @@ def top_word_frac(col: Column | str) -> Column:
 def mean_token_len(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     t = tokens(col)
-    non_space_chars = F.length(F.regexp_replace(c, " ", ""))
+    non_space_chars = F.length(F.regexp_replace(c, r"\s", ""))
     return non_space_chars / F.greatest(F.size(t), F.lit(1))
 
 

@@ -17,9 +17,17 @@ from pyspark.sql import types as T
 
 @F.pandas_udf(T.IntegerType())
 def pd_token_count(texts: pd.Series) -> pd.Series:
-    """Vectorized whitespace token count (one Arrow batch per call).
+    """Vectorized whitespace token count (one Arrow batch per call),
+    mirroring the engine-wide tokenizer (functions.text.tokens: trim +
+    \\s+ regex split, so an empty text counts one empty token — re.split
+    semantics, matching Spark's split and the SQL oracle).
 
     Nullable Int32: a NULL text maps to NULL out (matching the SQL
     equivalent) — .astype('int32') would raise on the NaN that
     .str.split(None) produces."""
-    return texts.str.split(" ").str.len().astype("Int32")
+    return (
+        texts.str.strip()
+        .str.split(r"\s+", regex=True)
+        .str.len()
+        .astype("Int32")
+    )

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens, word_shingles
+from ..functions.text import adaptive_shingles, tokens, word_shingles
 
 
 def _spread(df: DataFrame, *cols: str) -> DataFrame:
@@ -106,10 +106,13 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 
 
 def doc_shingles(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, k_chars: int = 5
 ) -> DataFrame:
     """Per-document hashed shingle set: (id, ``hs: array<long>``) where
-    ``hs`` holds the xxhash64 of each distinct word-k-gram.
+    ``hs`` holds the xxhash64 of each distinct shingle — word k-grams
+    normally, character ``k_chars``-grams for no-space-script (CJK)
+    documents, where whitespace tokenization yields one giant token and
+    the document would otherwise carry zero dedup signal.
 
     The row-local root of the whole text-dedup family: the inverted index
     is ``explode(hs)``, per-document set sizes are ``size(hs)``, and
@@ -123,7 +126,7 @@ def doc_shingles(
     return _spread(df.select(id_col, text_col), id_col).select(
         id_col,
         F.transform(
-            F.array_distinct(word_shingles(tokens(text_col), k)),
+            F.array_distinct(adaptive_shingles(text_col, k, k_chars)),
             lambda s: F.xxhash64(s),
         ).alias("hs"),
     )

@@ -59,7 +59,7 @@ def c1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EXACT_JACCARD_PAIRS_SQL = """
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS t FROM documents
     ),
     sh AS (
       SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
@@ -105,7 +105,7 @@ def c2_minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c3_ngram_jaccard_pairs",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS t FROM documents
     ),
     sh AS (
       SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
@@ -298,35 +298,40 @@ def c16_near_dup_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "c8_text_features",
     oracle="""
+    WITH toks AS (
+      SELECT doc_id, text,
+             STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS t
+      FROM documents
+    )
     SELECT doc_id,
            LENGTH(text) AS n_chars,
-           LEN(STRING_SPLIT(text, ' ')) AS ws_tokens,
+           LEN(t) AS ws_tokens,
            CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS INT)
              AS bpe_tokens,
            md5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint,
-           ROUND((LEN(STRING_SPLIT(text, ' ')) - LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))))
-                 * 1.0 / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1), 4) AS dup_word_frac,
-           ROUND(LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(STRING_SPLIT(text, ' ')),
-                     w -> LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x = w))))
-                 * 1.0 / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1), 4) AS top_word_frac,
-           ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z0-9 ]', '', 'g')))
+           ROUND((LEN(t) - LEN(LIST_DISTINCT(t)))
+                 * 1.0 / GREATEST(LEN(t), 1), 4) AS dup_word_frac,
+           ROUND(LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(t),
+                     w -> LEN(LIST_FILTER(t, x -> x = w))))
+                 * 1.0 / GREATEST(LEN(t), 1), 4) AS top_word_frac,
+           ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\p{L}\\p{N}\\s]', '', 'g')))
                  * 1.0 / GREATEST(LENGTH(text), 1), 4) AS punct_ratio,
-           ROUND(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+           ROUND(LEN(LIST_FILTER(t,
                      x -> LIST_CONTAINS(['the','and','of','to','is','in','that',
                                          'it','for','with','a','an','on','at',
                                          'by','as'], x)))
-                 * 1.0 / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1), 4)
+                 * 1.0 / GREATEST(LEN(t), 1), 4)
              AS stopword_ratio,
            ROUND(
              0.4 * LEAST(LENGTH(text) / 200.0, 1.0)
            + 0.3 * (1.0 - LEAST(((LENGTH(text)
-                 - LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                 - LENGTH(REGEXP_REPLACE(text, '[^\\p{L}\\p{N}\\s]', '', 'g')))
                  * 1.0 / GREATEST(LENGTH(text), 1)) * 5.0, 1.0))
-           + 0.3 * (CASE WHEN (LENGTH(REPLACE(text, ' ', '')) * 1.0
-                     / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1))
+           + 0.3 * (CASE WHEN (LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) * 1.0
+                     / GREATEST(LEN(t), 1))
                      BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END),
            4) AS quality
-    FROM documents
+    FROM toks
     """,
     survey_ref="§2 B13 pack: token counting (whitespace + BPE-ish regex), "
     "document fingerprinting (normalized content hash), Gopher-style "
@@ -533,7 +538,7 @@ def c13_media_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b17_pandas_udf_token_count",
     oracle="""
     SELECT doc_id,
-           CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS pd_tokens
+           CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS INT) AS pd_tokens
     FROM documents
     """,
     survey_ref="§2 B17 UDF escape hatch (Arrow-batched pandas_udf, "
@@ -559,7 +564,7 @@ def b17_pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c20_benchmark_decontamination",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS t FROM documents
     ),
     sh AS (
       SELECT DISTINCT doc_id,

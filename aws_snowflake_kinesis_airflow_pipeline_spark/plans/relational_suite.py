@@ -614,7 +614,8 @@ def b10_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b10_explode_token_counts",
     oracle="""
     SELECT token, COUNT(*) AS n
-    FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+    FROM (SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS token
+          FROM documents)
     GROUP BY token
     ORDER BY n DESC, token
     LIMIT 20
@@ -622,9 +623,11 @@ def b10_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="§2 B10 array explode (token frequency)",
 )
 def b10_explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        docs.select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("token"))

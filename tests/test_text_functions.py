@@ -77,3 +77,61 @@ def test_repetition_signals(spark):
     assert out[1] == (0.0, 0.25)
     assert out[2] == (0.75, 1.0)
     assert out[3] == (0.25, 0.5)
+
+
+def test_tokenizer_is_whitespace_regex(spark):
+    """trim + \\s+ split: tabs/newlines/runs of spaces separate tokens and
+    padding never fabricates empty-string tokens."""
+    assert one(spark, "a\tb\n  c", TX.token_count("text")) == 3
+    assert one(spark, "  padded  doc  ", TX.tokens("text")) == ["padded", "doc"]
+    # empty text -> one empty token (re.split semantics; oracle-matching)
+    assert one(spark, "", TX.token_count("text")) == 1
+    # padding no longer scores as repetition
+    assert one(spark, "  a  b  ", TX.dup_word_frac("text")) == 0.0
+
+
+def test_char_shingles(spark):
+    assert one(spark, "abcdef", TX.char_shingles("text", 5)) == [
+        "abcde",
+        "bcdef",
+    ]
+    assert one(spark, "abc", TX.char_shingles("text", 5)) == []
+
+
+def test_cjk_docs_carry_dedup_and_quality_signal(spark):
+    """No-space scripts must not silently vanish from the dedup family nor
+    score as pure punctuation: word shingles degenerate to zero on CJK, so
+    adaptive shingles take character n-grams; punct_ratio treats ideographs
+    as letters; lang_id short-circuits to zh."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    zh1 = "今天天气很好我们去公园散步吧然后一起吃晚饭"
+    zh2 = "今天天气很好我们去公园散步吧然后一起吃午饭"  # one char differs
+    zh3 = "完全不同的文本内容关于机器学习和分布式系统"
+    row = (
+        spark.createDataFrame([(zh1,)], "text string")
+        .select(
+            F.size(TX.word_shingles(TX.tokens("text"), 3)).alias("w"),
+            F.size(TX.adaptive_shingles("text", 3, 5)).alias("a"),
+            F.round(TX.punct_ratio("text"), 4).alias("p"),
+            TX.lang_id("text").alias("lang"),
+        )
+        .first()
+    )
+    assert row["w"] == 0  # whitespace tokenization degenerates
+    assert row["a"] == len(zh1) - 4  # char 5-grams carry the signal
+    assert row["p"] == 0.0  # ideographs are letters, not punctuation
+    assert row["lang"] == "zh"
+
+    df = spark.createDataFrame(
+        [(1, zh1), (2, zh2), (3, zh3)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", k=3, threshold=0.5
+        ).collect()
+    }
+    assert pairs == {(1, 2)}  # near-identical CJK docs pair; unrelated doesn't
