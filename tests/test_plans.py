@@ -4,6 +4,8 @@ scans, bounded dims broadcast, top-k avoids global sorts."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from aws_snowflake_kinesis_airflow_pipeline_spark.plans.registry import QUERIES
@@ -156,6 +158,50 @@ def test_events_column_pruning_through_ns_normalization(spark, sf_dir):
 def test_anti_join_is_join_not_subquery_scan(spark, sf_dir):
     plan = plan_of(spark, "ref_insert_dedup_anti_join", sf_dir)
     assert "LeftAnti" in plan
+
+
+def test_lsh_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persisted ANN index's contract: a probe against the
+    write_lsh_index layout must read ONLY the probed bucket directories
+    (partition pruning), never the whole corpus — and return exactly what
+    the scan-everything lsh_topk path returns for the same parameters."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.catalog import load_table
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter("vec_id = 0").first()["embedding"])
+    path = str(tmp_path / "lsh_index")
+    similarity.write_lsh_index(emb, "embedding", path, n_bits=4)
+
+    probe = similarity.lsh_topk_indexed(
+        spark, path, "embedding", "vec_id", qvec,
+        k=10, n_bits=4, exclude_ids=[0],
+    )
+    plan = probe._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    part_filters = plan.split("PartitionFilters:", 1)[1].splitlines()[0]
+    assert "lsh_bucket" in part_filters  # filter hit the partition column
+
+    got = [tuple(r) for r in probe.collect()]
+    # pruning actually happened: the executed scan read only the probed
+    # bucket directories, not everything on disk (inputFiles() ignores
+    # partition filters, so read the scan node's own metrics)
+    scan = probe._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    n_read = scan.metrics().apply("numPartitions").value()
+    n_on_disk = sum(
+        1 for d in os.listdir(path) if d.startswith("lsh_bucket=")
+    )
+    n_probes = len(similarity.probe_buckets(qvec, n_bits=4, probe_hamming=1))
+    assert n_read <= n_probes < n_on_disk
+
+    unindexed = similarity.lsh_topk(
+        emb, "embedding", "vec_id", qvec,
+        k=10, n_bits=4, exclude_ids=[0],
+    )
+    assert got == [tuple(r) for r in unindexed.collect()]
 
 
 def test_ivf_index_has_no_count_prepass(spark, monkeypatch):
