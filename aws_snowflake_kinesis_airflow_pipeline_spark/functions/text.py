@@ -163,15 +163,31 @@ def dup_word_frac(col: Column | str) -> Column:
 
 def top_word_frac(col: Column | str) -> Column:
     """Fraction of tokens taken by the single most frequent token (Gopher's
-    top-n-gram character fraction, n=1, token-counted). Per-row O(tokens ×
-    distinct) array expression — no shuffle, no explode; bounded by
-    document length, not corpus size."""
+    top-n-gram character fraction, n=1, token-counted). Computed as the
+    longest equal-run in the sorted token array — O(L log L) per row vs the
+    naive distinct×filter O(L²), which dominated the sf1 text-feature scan
+    (19 s → the token sort is the new ceiling). No shuffle, no explode;
+    bounded by document length, not corpus size."""
     t = tokens(col)
-    counts = F.transform(
-        F.array_distinct(t),
-        lambda w: F.size(F.filter(t, lambda x: x == w)),
+    srt = F.array_sort(t)
+    # fold: state = (prev token, current run length, best run length)
+    state = F.aggregate(
+        srt,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda s, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(s["prev"]), s["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                s["best"],
+                F.when(x.eqNullSafe(s["prev"]), s["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
     )
-    return F.array_max(counts) / F.greatest(F.size(t), F.lit(1))
+    return state["best"] / F.greatest(F.size(t), F.lit(1))
 
 
 def mean_token_len(col: Column | str) -> Column:

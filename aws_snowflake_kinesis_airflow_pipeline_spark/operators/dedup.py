@@ -21,6 +21,7 @@ volume is plan construction.
 from __future__ import annotations
 
 import math
+import os
 import random
 
 import numpy as np
@@ -29,33 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import adaptive_shingles, tokens, word_shingles
+from .spread import spread as _spread
 
-
-def _spread(df: DataFrame, *cols: str) -> DataFrame:
-    """Repartition up to the session's core count before a CPU-heavy
-    per-row expansion (shingling, token explode, signature hashing) — but
-    ONLY when the incoming plan has fewer partitions than cores.
-
-    Why: a small parquet file is one row group = one scan task, so the
-    ~50× explode work serializes on a single core while the rest idle
-    (measured 3.3 s -> 0.6 s on the sf0.1 shingle index). At 100 TB the
-    input arrives in thousands of file splits, the guard is false, and no
-    extra text-carrying shuffle is ever added.
-
-    The partition probe (df.rdd) is only safe on shuffle-free plans: under
-    AQE, materializing the RDD of a plan that contains an Exchange executes
-    its shuffle stages at plan-construction time. A shuffled input is
-    already parallelized to spark.sql.shuffle.partitions, so when the
-    physical plan shows an Exchange we skip both the probe and the
-    repartition.
-    """
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    if "Exchange" in plan:
-        return df
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target, *cols)
 
 # --------------------------------------------------------------------------
 # Exact dedup
@@ -721,17 +697,34 @@ def embedding_near_dup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.9,
-    n_bits: int = 8,
+    n_bits: int | None = None,
     n_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
+    target_occupancy: int = 32,
 ) -> DataFrame:
     """Pairs with cosine >= threshold via multi-table hyperplane LSH.
 
-    n_tables independent 8-bit sign buckets; a pair collides in table t with
-    prob (1 - theta/pi)^8 — multiple tables push recall up. In-bucket pairs
-    are verified with exact cosine, so precision is exact.
+    n_tables independent ``n_bits``-bit sign buckets; a pair collides in a
+    table with prob (1 - theta/pi)^n_bits — multiple tables push recall up.
+    In-bucket pairs are verified with exact cosine, so precision is exact.
+
+    ``n_bits=None`` auto-sizes the bucket resolution to the corpus:
+    ceil(log2(n / target_occupancy)), floored at 8. Verification cost is
+    quadratic in bucket occupancy, so a FIXED resolution silently blows up
+    at scale (measured: 10x the vectors at 8 bits -> ~100x the candidate
+    pairs). Auto-sizing keeps expected occupancy near ``target_occupancy``
+    — candidate volume then grows linearly with the corpus. Costs one
+    count() of the id column (columnar scan, no data movement), trivially
+    amortized against the candidate join it prevents; callers who know
+    their corpus size pass ``n_bits`` explicitly and skip it. Exact
+    duplicates collide at any resolution (identical vectors -> identical
+    signs); near-threshold recall decays as n_bits grows, which is the
+    standard LSH trade — add tables to buy it back.
     """
+    if n_bits is None:
+        n = df.select(id_col).count()
+        n_bits = max(8, math.ceil(math.log2(max(n / target_occupancy, 2))))
     v = F.col(vec_col).cast("array<double>")
     # _spread: the bucket projection is one Arrow round-trip + numpy matmul
     # per batch; spread it when the scan arrives in fewer partitions than

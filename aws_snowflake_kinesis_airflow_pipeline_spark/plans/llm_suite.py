@@ -18,15 +18,21 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions import text as TX
 from ..operators import dedup, multimodal, similarity
+from ..operators.spread import spread
 from .registry import register
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # spread: documents parquet at test SFs is a single row group = one
+    # scan task, serializing the regex/shingle-heavy per-row work of every
+    # query below on one of 32 cores (measured 19 s -> 7 s on the sf1
+    # text-feature pack alone). Self-disabling no-op once the input
+    # arrives in >= core-count splits — i.e. at any real corpus size.
+    return spread(load_table(spark, sf_dir, "documents"), "doc_id")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    return spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
 
 
 # --------------------------------------------------------------------------
