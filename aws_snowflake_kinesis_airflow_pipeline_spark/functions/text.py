@@ -10,12 +10,21 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: Tokenizer used consistently engine-wide: any-whitespace regex split of
-#: the trimmed text — tabs/newlines/runs of spaces all separate tokens and
-#: never produce empty-string tokens (a single-space split silently did on
-#: padded or multi-space text). Empty/whitespace-only documents tokenize to
-#: one empty token (matching STRING_SPLIT_REGEX in the DuckDB oracle).
-TOKEN_SPLIT_RE = r"\s+"
+#: Whitespace character class used consistently engine-wide. Written out
+#: explicitly instead of ``\s`` because the engine's regexes run under Java
+#: regex while the DuckDB oracles run under RE2, and the two disagree on
+#: ``\s``: Java includes vertical tab (\x0B), RE2 does not. This class IS
+#: RE2's ``\s`` — so every oracle keeps writing ``\s`` and the engines
+#: agree on every codepoint.
+WS_CLASS = " \\t\\n\\f\\r"
+
+#: Tokenizer used consistently engine-wide: any-whitespace regex split with
+#: empty tokens filtered out — tabs/newlines/runs of spaces all separate
+#: tokens, leading/trailing whitespace of ANY kind never fabricates
+#: empty-string tokens (a space-only trim left them in for tab/newline
+#: padding), and empty/whitespace-only documents tokenize to an empty
+#: array. Oracles mirror with LIST_FILTER(STRING_SPLIT_REGEX(...), ...).
+TOKEN_SPLIT_RE = f"[{WS_CLASS}]+"
 
 #: Codepoint ranges of no-space scripts (CJK ideographs, kana, hangul):
 #: whitespace tokenization degenerates there (one giant token), so shingle
@@ -24,7 +33,8 @@ NO_SPACE_SCRIPT_RE = r"[一-鿿぀-ヿ가-힣]"
 
 #: BPE-ish lexer: words of alphanumerics OR single non-space punctuation —
 #: the classic pre-tokenization regex shape used by byte-pair encoders.
-BPE_TOKEN_RE = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+#: Same WS_CLASS spelling as the tokenizer (RE2/Java ``\s`` parity).
+BPE_TOKEN_RE = f"[a-zA-Z0-9]+|[^a-zA-Z0-9{WS_CLASS}]"
 
 #: Tiny per-language marker-word lists for the n-gram/stopword language-ID
 #: heuristic. Intentionally small: the operator's shape (scored argmax over
@@ -41,7 +51,7 @@ ENGLISH_STOPWORDS = LANG_MARKERS["en"] + ["a", "an", "on", "at", "by", "as"]
 
 def tokens(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), TOKEN_SPLIT_RE)
+    return F.filter(F.split(c, TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
 
 
 def token_count(col: Column | str) -> Column:
@@ -113,7 +123,7 @@ def normalize_text(col: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace,
     trim."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(c), TOKEN_SPLIT_RE, " "))
 
 
 def doc_fingerprint(col: Column | str) -> Column:
@@ -133,7 +143,7 @@ def punct_ratio(col: Column | str) -> Column:
     scored every non-English document as ~100% punctuation and tanked its
     quality score."""
     c = F.col(col) if isinstance(col, str) else col
-    stripped = F.regexp_replace(c, r"[^\p{L}\p{N}\s]", "")
+    stripped = F.regexp_replace(c, f"[^\\p{{L}}\\p{{N}}{WS_CLASS}]", "")
     return (F.length(c) - F.length(stripped)) / F.greatest(F.length(c), F.lit(1))
 
 
@@ -151,10 +161,10 @@ def dup_word_frac(col: Column | str) -> Column:
     fraction, at word granularity for single-line corpora). 0 = all tokens
     distinct, →1 = one token repeated throughout.
 
-    Uses the engine-wide whitespace tokenizer (trim + \\s+ split), so
-    separator runs and padding never fabricate empty-string "repeats";
-    empty documents score 0 here and are gated by the length component of
-    quality_score instead."""
+    Uses the engine-wide whitespace tokenizer (split + empty-token filter),
+    so separator runs and padding of any whitespace kind never fabricate
+    empty-string "repeats"; empty documents score 0 here and are gated by
+    the length component of quality_score instead."""
     t = tokens(col)
     return (F.size(t) - F.size(F.array_distinct(t))) / F.greatest(
         F.size(t), F.lit(1)
@@ -193,7 +203,7 @@ def top_word_frac(col: Column | str) -> Column:
 def mean_token_len(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     t = tokens(col)
-    non_space_chars = F.length(F.regexp_replace(c, r"\s", ""))
+    non_space_chars = F.length(F.regexp_replace(c, f"[{WS_CLASS}]", ""))
     return non_space_chars / F.greatest(F.size(t), F.lit(1))
 
 
@@ -223,7 +233,7 @@ def lang_id(col: Column | str) -> Column:
     short-circuits to 'zh'. All built-ins — scales as a scan.
     """
     c = F.col(col) if isinstance(col, str) else col
-    t = F.split(F.lower(c), r"\s+")
+    t = F.split(F.lower(c), TOKEN_SPLIT_RE)
     def _marker_hits(markers: list[str]) -> Column:
         arr = F.array(*[F.lit(w) for w in markers])
         return F.size(F.filter(t, lambda x: F.array_contains(arr, x)))

@@ -18,16 +18,18 @@ from pyspark.sql import types as T
 @F.pandas_udf(T.IntegerType())
 def pd_token_count(texts: pd.Series) -> pd.Series:
     """Vectorized whitespace token count (one Arrow batch per call),
-    mirroring the engine-wide tokenizer (functions.text.tokens: trim +
-    \\s+ regex split, so an empty text counts one empty token — re.split
-    semantics, matching Spark's split and the SQL oracle).
+    mirroring the engine-wide tokenizer (functions.text.tokens: split on
+    the shared WS_CLASS, drop empty tokens — so an empty or all-whitespace
+    text counts zero tokens). Counting runs of non-WS_CLASS characters is
+    that same definition in one findall; a pandas .str.strip() would
+    diverge (it strips Python's whitespace set, e.g. \\x0B, which the
+    engine/oracle contract deliberately does NOT treat as whitespace —
+    see functions.text.WS_CLASS).
 
     Nullable Int32: a NULL text maps to NULL out (matching the SQL
-    equivalent) — .astype('int32') would raise on the NaN that
-    .str.split(None) produces."""
-    return (
-        texts.str.strip()
-        .str.split(r"\s+", regex=True)
-        .str.len()
-        .astype("Int32")
-    )
+    equivalent) — .astype('int32') would raise on the NaN a NULL
+    produces."""
+    from .text import WS_CLASS
+
+    non_ws_run = f"[^{WS_CLASS}]+"
+    return texts.str.findall(non_ws_run).str.len().astype("Int32")

@@ -21,7 +21,6 @@ volume is plan construction.
 from __future__ import annotations
 
 import math
-import os
 import random
 
 import numpy as np
@@ -724,7 +723,13 @@ def embedding_near_dup_pairs(
     """
     if n_bits is None:
         n = df.select(id_col).count()
-        n_bits = max(8, math.ceil(math.log2(max(n / target_occupancy, 2))))
+        # Cap at 30: bucket ids are int32 (hyperplane_buckets_udf packs
+        # sign bits into np.int32), so >= 31 bits would wrap. 2^30 buckets
+        # covers ~3e10 vectors at the default occupancy; beyond that, add
+        # tables/probes rather than bits.
+        n_bits = min(
+            30, max(8, math.ceil(math.log2(max(n / target_occupancy, 2))))
+        )
     v = F.col(vec_col).cast("array<double>")
     # _spread: the bucket projection is one Arrow round-trip + numpy matmul
     # per batch; spread it when the scan arrives in fewer partitions than

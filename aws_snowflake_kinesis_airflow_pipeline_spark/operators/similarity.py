@@ -164,15 +164,16 @@ def ivf_index(
 
     KMeans is fit on a bounded subset (centroids converge on a sample;
     fitting the full corpus would make every KMeans iteration a full-data
-    pass at 100 TB). The subset is taken WITHOUT a counting pre-pass —
-    a ``count()`` here would be one extra all-data job per index build:
-    a seeded Bernoulli ``sample(fit_fraction)`` capped by
-    ``limit(max_fit_rows)``. The limit short-circuits the scan once enough
-    sampled rows arrive, so the fit never reads the whole corpus. Callers
-    indexing data whose on-disk order is correlated with cluster structure
-    should pass ``fit_fraction`` < 1 so the cap draws from a spread of
-    input splits rather than the first files. Assignment is one pass over
-    the full data.
+    pass at 100 TB). The subset is the ``max_fit_rows`` smallest rows by
+    ``xxhash64(vector)`` — a deterministic uniform pseudo-random draw,
+    taken WITHOUT a counting pre-pass (a ``count()`` here would be one
+    extra all-data job per index build) and WITHOUT storage-order bias (a
+    bare ``limit`` short-circuits on the first scanned files, and on-disk
+    order is typically correlated with cluster structure — per-source,
+    per-date — which would skew every centroid toward the prefix sources).
+    orderBy+limit compiles to per-partition top-k plus one k-row merge,
+    not a full sort. ``fit_fraction`` < 1 pre-thins the rows entering the
+    top-k heaps. Assignment is one pass over the full data.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -183,7 +184,9 @@ def ivf_index(
     fit_df = with_vec
     if fit_fraction < 1.0:
         fit_df = fit_df.sample(fraction=fit_fraction, seed=seed)
-    fit_df = fit_df.limit(max_fit_rows)
+    fit_df = fit_df.orderBy(
+        F.xxhash64(F.col(vec_col), F.lit(seed))
+    ).limit(max_fit_rows)
     model = KMeans(
         k=n_clusters, seed=seed, featuresCol="_v", predictionCol="ivf_cluster"
     ).fit(fit_df)

@@ -65,7 +65,7 @@ def c1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EXACT_JACCARD_PAIRS_SQL = """
     WITH toks AS (
-      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS t FROM documents
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '') AS t FROM documents
     ),
     sh AS (
       SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
@@ -111,7 +111,7 @@ def c2_minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c3_ngram_jaccard_pairs",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS t FROM documents
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '') AS t FROM documents
     ),
     sh AS (
       SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
@@ -306,7 +306,7 @@ def c16_near_dup_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id, text,
-             STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS t
+             LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '') AS t
       FROM documents
     )
     SELECT doc_id,
@@ -544,7 +544,7 @@ def c13_media_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b17_pandas_udf_token_count",
     oracle="""
     SELECT doc_id,
-           CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS INT) AS pd_tokens
+           CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '')) AS INT) AS pd_tokens
     FROM documents
     """,
     survey_ref="§2 B17 UDF escape hatch (Arrow-batched pandas_udf, "
@@ -570,7 +570,7 @@ def b17_pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c20_benchmark_decontamination",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS t FROM documents
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '') AS t FROM documents
     ),
     sh AS (
       SELECT DISTINCT doc_id,

@@ -616,7 +616,7 @@ def b10_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b10_explode_token_counts",
     oracle="""
     SELECT token, COUNT(*) AS n
-    FROM (SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS token
+    FROM (SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '')) AS token
           FROM documents)
     GROUP BY token
     ORDER BY n DESC, token

@@ -50,7 +50,8 @@ def test_spread_is_noop_when_scan_is_well_split(spark, sf_dir):
     """When file metadata says the scan already yields >= core-count
     splits, spread must leave the plan untouched. Simulated by shrinking
     maxPartitionBytes so the same file counts as many splits."""
-    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_max = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
     try:
         spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
         spark.conf.set("spark.sql.files.openCostInBytes", "0")
@@ -58,8 +59,8 @@ def test_spread_is_noop_when_scan_is_well_split(spark, sf_dir):
         out = spread(docs, "doc_id")
         assert out is docs
     finally:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
-        spark.conf.set("spark.sql.files.openCostInBytes", "4194304")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_max)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
 
 
 def test_spread_in_memory_input_falls_back_to_rdd_probe(spark):

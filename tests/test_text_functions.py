@@ -84,8 +84,9 @@ def test_tokenizer_is_whitespace_regex(spark):
     padding never fabricates empty-string tokens."""
     assert one(spark, "a\tb\n  c", TX.token_count("text")) == 3
     assert one(spark, "  padded  doc  ", TX.tokens("text")) == ["padded", "doc"]
-    # empty text -> one empty token (re.split semantics; oracle-matching)
-    assert one(spark, "", TX.token_count("text")) == 1
+    # empty text -> zero tokens (empty-token filter; oracle-matching via
+    # LIST_FILTER on the SQL side)
+    assert one(spark, "", TX.token_count("text")) == 0
     # padding no longer scores as repetition
     assert one(spark, "  a  b  ", TX.dup_word_frac("text")) == 0.0
 
@@ -135,3 +136,71 @@ def test_cjk_docs_carry_dedup_and_quality_signal(spark):
         ).collect()
     }
     assert pairs == {(1, 2)}  # near-identical CJK docs pair; unrelated doesn't
+
+
+def test_top_word_frac_matches_naive_definition(spark):
+    """The O(L log L) longest-equal-run formulation must equal the
+    definitional max-token-count / token-count on adversarial token mixes
+    (repeats at the ends, runs in the middle, single tokens, all-same)."""
+    from collections import Counter
+
+    docs = [
+        "a",
+        "a a a a",
+        "a b a b a",
+        "x y z",
+        "b a a a b",
+        "one two two three three three",
+        "  padded   runs\tof   whitespace  ",
+        "z z z z z z z a",
+        "tie tie break break",
+    ]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "i long, text string")
+    got = {
+        r["i"]: r["f"]
+        for r in df.select(
+            "i", F.round(TX.top_word_frac("text"), 6).alias("f")
+        ).collect()
+    }
+    for i, d in enumerate(docs):
+        toks = d.strip().split()
+        expect = round(Counter(toks).most_common(1)[0][1] / len(toks), 6)
+        assert got[i] == expect, (d, got[i], expect)
+
+
+def test_tokenizer_contract_on_hostile_whitespace(spark):
+    """Tab/newline padding and separator runs must never fabricate empty
+    tokens (space-only trimming did), and the engine must agree with the
+    pandas UDF kernel on every input — including \x0B, which is whitespace
+    to Java/Python but NOT to the RE2 oracle: the shared WS_CLASS
+    deliberately excludes it so both engines treat it as a token char."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.functions.udf_demo import (
+        pd_token_count,
+    )
+
+    docs = [
+        "\ta b",          # leading tab
+        "a b\n",          # trailing newline
+        "\na b\n",        # both ends
+        "a\t\tb",         # tab run
+        "",               # empty -> zero tokens
+        "   \t\n  ",      # whitespace-only -> zero tokens
+        "a\x0bb",         # \x0B is NOT a separator (RE2 parity) -> 1 token
+    ]
+    expected = [2, 2, 2, 2, 0, 0, 1]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "i long, text string"
+    )
+    rows = df.select(
+        "i",
+        TX.token_count("text").alias("n"),
+        pd_token_count("text").alias("pd_n"),
+        F.round(TX.dup_word_frac("text"), 4).alias("dup"),
+    ).collect()
+    got = {r["i"]: r for r in rows}
+    for i, exp in enumerate(expected):
+        assert got[i]["n"] == exp, (docs[i], got[i]["n"], exp)
+        assert got[i]["pd_n"] == exp, ("udf", docs[i], got[i]["pd_n"], exp)
+    # padded 'a b' variants have two distinct tokens -> zero fabricated dups
+    for i in (0, 1, 2, 3):
+        assert got[i]["dup"] == 0.0, (docs[i], got[i]["dup"])
