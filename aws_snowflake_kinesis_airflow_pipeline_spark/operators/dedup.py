@@ -394,14 +394,31 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (weighted by term frequency via non-distinct explode), then take signs.
 
     64 conditional-sum aggregates in one groupBy — single shuffle.
+
+    The per-token 64-bit hash is the first 16 hex chars of md5, read as
+    two 32-bit words (``hi`` = chars 1-8, ``lo`` = chars 9-16; bit j of
+    the hash is bit j%32 of ``lo`` for j<32 else of ``hi``). md5 is the
+    engine-portable choice used across this repo's cross-engine recipes
+    (see ``operators/sampling.py``): DuckDB computes the identical hex
+    string, so the full signature — and therefore the near-dup pair set —
+    is oracle-checkable bit-for-bit. Still a pure JVM codegen expression,
+    two ``conv`` calls per token; no Python in the row path.
     """
+    hexh = F.md5(F.col("token"))
     tok = _spread(df.select(id_col, text_col), id_col).select(
         id_col, F.explode(tokens(text_col)).alias("token")
-    ).withColumn("th", F.xxhash64("token"))
+    ).select(
+        id_col,
+        F.conv(F.substring(hexh, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(hexh, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
+            F.when(
+                F.shiftright(F.col("lo" if j < 32 else "hi"), j % 32)
+                .bitwiseAND(F.lit(1)) == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"s{j}")
         for j in range(_SIMHASH_BITS)
     ]

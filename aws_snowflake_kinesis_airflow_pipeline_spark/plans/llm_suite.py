@@ -5,9 +5,11 @@ Oracle policy: every op whose fixture result is deterministic and
 SQL-expressible gets DuckDB SQL — including the LSH near-dup flagships,
 whose exact-verified candidates match exact-Jaccard ground truth (recall
 is deterministically 1.0 on the fixtures, pinned by test). Rows-only is
-reserved for genuinely non-SQL ops (HLL sketch, xxhash64 SimHash
-signatures, probe-subset top-k, partition-local FFD packing), with pytest
-coverage planting known duplicates to pin recall.
+reserved for genuinely non-SQL ops (HLL sketch, probe-subset top-k,
+partition-local FFD packing), with pytest coverage planting known
+duplicates to pin recall. SimHash (c4) graduated from rows-only to a
+full oracle by deriving its token hash from md5 (portable across
+engines) instead of xxhash64.
 """
 
 from __future__ import annotations
@@ -151,15 +153,67 @@ def c3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SimHash oracle: recompute the md5-derived 64-bit signature per document
+# in SQL (same hi/lo word convention as operators/dedup.py::
+# simhash_signatures), then take ALL pairs with Hamming <= 6 — the oracle
+# is the brute-force ground truth, so this also re-proves the pigeonhole
+# candidate generation loses nothing. The 64 bit-vote sums and the
+# two's-complement signature assembly are generated here rather than
+# hand-written.
+_SIMHASH_SUMS = ", ".join(
+    f"SUM(CASE WHEN (({'lo' if j < 32 else 'hi'} >> {j % 32}) & 1) = 1 "
+    f"THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(64)
+)
+_SIMHASH_SIG = " + ".join(
+    f"CASE WHEN s{j} > 0 THEN {-(1 << 63) if j == 63 else (1 << j)} "
+    f"ELSE 0 END"
+    for j in range(64)
+)
+_SIMHASH_PAIRS_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id,
+             CAST(CONCAT('0x', SUBSTR(md5(token), 1, 8)) AS BIGINT) AS hi,
+             CAST(CONCAT('0x', SUBSTR(md5(token), 9, 8)) AS BIGINT) AS lo
+      FROM toks
+    ),
+    sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM words GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id, CAST({_SIMHASH_SIG} AS BIGINT) AS simhash FROM sums
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 6
+    ORDER BY id1, id2
+"""
+
+
 @register(
     "c4_simhash_near_dups",
-    oracle=None,  # xxhash64-based signature has no DuckDB equivalent
-    survey_ref="§2 B11 SimHash near-dup (chunk pigeonhole + Hamming verify)",
+    oracle=_SIMHASH_PAIRS_SQL,
+    survey_ref="§2 B11 SimHash near-dup (chunk pigeonhole + Hamming "
+    "verify); oracle = brute-force all-pairs Hamming over the identical "
+    "md5-derived signature, so candidate recall is proven exhaustive",
 )
 def c4_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_near_dup_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", max_hamming=6
-    ).orderBy("id1", "id2")
+    """Signature hashing is md5-derived (engine-portable — see
+    simhash_signatures), so the oracle recomputes the exact 64-bit
+    signatures and the exact pair set: a full bit-for-bit check of an
+    op that was rows-only when it hashed with xxhash64."""
+    return (
+        dedup.simhash_near_dup_pairs(
+            _docs(spark, sf_dir), "doc_id", "text", max_hamming=6
+        )
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("id1", "id2")
+    )
 
 
 @register(
