@@ -5,7 +5,7 @@ Oracle policy: every op whose fixture result is deterministic and
 SQL-expressible gets DuckDB SQL — including the LSH near-dup flagships,
 whose exact-verified candidates match exact-Jaccard ground truth (recall
 is deterministically 1.0 on the fixtures, pinned by test). Rows-only is
-reserved for genuinely non-SQL ops (HLL sketch, probe-subset top-k,
+reserved for genuinely non-SQL ops (probe-subset top-k,
 partition-local FFD packing), with pytest coverage planting known
 duplicates to pin recall. SimHash (c4) graduated from rows-only to a
 full oracle by deriving its token hash from md5 (portable across

@@ -509,17 +509,46 @@ def b8_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "b8_approx_count_distinct",
-    oracle=None,  # approximate — rows-only check by design
-    survey_ref="§2 B8 approx_count_distinct (HLL sketch)",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    survey_ref="§2 B8 approx_count_distinct (HLL sketch); driver-visible "
+    "error-band assertion against the exact count",
 )
 def b8_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-sketch distinct: the 100 TB answer to COUNT(DISTINCT) — one pass,
-    no dedup shuffle of the key domain, mergeable partial sketches."""
+    no dedup shuffle of the key domain, mergeable partial sketches.
+
+    The sketch value itself differs between engines (Spark HLL++ vs
+    DuckDB's HLL), so the raw approx count cannot be hash-compared. The
+    driver-checkable form is the error-band property: emit the exact
+    count plus a boolean asserting |approx - exact| / exact <= 5% (2.5x
+    the configured rsd=0.02; observed error on the fixtures is ~1% and
+    Spark's sketch is deterministic for fixed data, so the boolean is
+    stable). The oracle recomputes the exact count and pins the boolean
+    TRUE — if the sketch ever strayed outside its documented band the
+    hash check would fail. The production op at 100 TB is the sketch
+    alone; the exact count here is the verification harness."""
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= 0.05
+            ).alias("approx_within_5pct"),
         )
         .orderBy("l_returnflag")
     )
