@@ -468,12 +468,15 @@ def b7_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
            ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS cov_qty_price,
            ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS median_price,
-           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_price
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_price,
+           TRUE AS approx_pctl_within_1pct
     FROM lineitem
     GROUP BY l_returnflag
     """,
     survey_ref="§2 B8 exact COUNT(DISTINCT) + statistical aggregates "
-    "(stddev/var/corr/covar) + exact interpolated percentiles, one grouping",
+    "(stddev/var/corr/covar) + exact interpolated percentiles, one "
+    "grouping; plus the bounded-memory approx_percentile scale path "
+    "pinned inside a 1% error band",
 )
 def b8_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact-aggregate family over one grouping, as two aggregates
@@ -482,7 +485,17 @@ def b8_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-distinct Expand (3x the rows into a sort aggregate — measured
     ~5x slower at sf0.1); split, the distinct branch expands only its own
     two key columns and the moments/percentile branch stays a plain hash
-    aggregate. The final join is 3 rows x 3 rows, broadcast."""
+    aggregate. The final join is 3 rows x 3 rows, broadcast.
+
+    Scale note: exact ``percentile`` buffers a value->count map per group
+    in the merge — fine at bench SFs, unbounded at 100 TB (billions of
+    distinct doubles per group on one reducer). The 100 TB percentile is
+    ``approx_percentile`` (Greenwald-Khanna digest: mergeable, memory
+    bounded by the accuracy parameter, error bounded in rank). Both run
+    here, and the driver-checked booleans assert the digest lands within
+    1% of the exact value (observed ~0.02% at accuracy=10000; the digest
+    is deterministic for fixed data) — same error-band-oracle pattern as
+    b8_approx_count_distinct."""
     li = _t(spark, sf_dir, "lineitem")
     distincts = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
@@ -503,6 +516,35 @@ def b8_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias(
             "p90_price"
         ),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("_med_exact"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("_p90_exact"),
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.5), F.lit(10000)
+        ).alias("_med_approx"),
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.9), F.lit(10000)
+        ).alias("_p90_approx"),
+    )
+    moments = moments.select(
+        "l_returnflag",
+        "sd_qty",
+        "var_disc",
+        "corr_qty_price",
+        "cov_qty_price",
+        "median_price",
+        "p90_price",
+        (
+            (
+                F.abs(F.col("_med_approx") - F.col("_med_exact"))
+                / F.col("_med_exact")
+                <= 0.01
+            )
+            & (
+                F.abs(F.col("_p90_approx") - F.col("_p90_exact"))
+                / F.col("_p90_exact")
+                <= 0.01
+            )
+        ).alias("approx_pctl_within_1pct"),
     )
     return distincts.join(moments, "l_returnflag")
 
