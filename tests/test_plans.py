@@ -230,3 +230,40 @@ def test_ivf_index_has_no_count_prepass(spark, monkeypatch):
     )
     assert len(model.clusterCenters()) == 4
     assert indexed.where("ivf_cluster IS NULL").isEmpty()
+
+
+def test_no_scale_killers_across_entire_registry(spark, sf_dir):
+    """Sweep invariant over ALL registered queries: no plan may contain a
+    cartesian product / broadcast nested-loop join on non-trivial inputs,
+    and no row-at-a-time Python UDF (BatchEvalPython) anywhere — Python
+    kernels must be Arrow-batched (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas). These are the two classic ways a plan that
+    passes at fixture scale dies at corpus scale, so the whole driver
+    surface is pinned, not just the flagships.
+
+    Building each DataFrame executes localCheckpoint stages for the dedup
+    family — cheap at sf0.001, and exactly what makes the *executed* plan
+    (AQE-final, not the optimizer's guess) available to assert on.
+    """
+    offenders: dict[str, list[str]] = {}
+    for name, q in QUERIES.items():
+        df = q.fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        bad = [
+            marker
+            for marker in ("CartesianProduct", "BatchEvalPython")
+            if marker in plan
+        ]
+        # BroadcastNestedLoopJoin is tolerable only when the build side is
+        # bounded by construction; flag anything else.
+        if "BroadcastNestedLoopJoin" in plan and name not in (
+            "b_subquery_filters",  # uncorrelated scalar subquery: 1-row build
+            "ref_dq_counts",  # 1-row x 1-row crossJoin of two DQ scalars
+            # non-equi band join: explicit broadcast of the 3-row band dim,
+            # the correct physical strategy for a bounded range dimension
+            "b_range_join_price_bands",
+        ):
+            bad.append("BroadcastNestedLoopJoin")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"scale-killer plan nodes: {offenders}"
