@@ -109,3 +109,95 @@ def test_text_feature_pack_matches_duckdb_on_random_strings(spark):
     for col in ("dup_word_frac", "top_word_frac", "punct_ratio", "stopword_ratio"):
         diff = (got[col] - want[col]).abs()
         assert diff.max() <= 2e-4, (col, diff.idxmax(), docs[diff.idxmax()])
+
+
+def test_simhash_signatures_match_duckdb_on_random_strings(spark):
+    """The md5-derived SimHash signature (hi/lo word convention in
+    dedup.simhash_signatures) must be bit-identical in DuckDB on hostile
+    random text — this is the contract the c4 oracle stands on."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators import dedup
+    from aws_snowflake_kinesis_airflow_pipeline_spark.plans.llm_suite import (
+        _SIMHASH_SIG,
+        _SIMHASH_SUMS,
+    )
+
+    docs = _random_docs(200, seed=11)
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    got = (
+        dedup.simhash_signatures(
+            spark.createDataFrame(pdf), "doc_id", "text"
+        )
+        .toPandas()
+        .set_index("doc_id")["simhash"]
+        .sort_index()
+    )
+
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = con.execute(
+        f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'),
+                                    x -> x <> '')) AS token
+          FROM docs
+        ),
+        words AS (
+          SELECT doc_id,
+                 CAST(CONCAT('0x', SUBSTR(md5(token), 1, 8)) AS BIGINT) AS hi,
+                 CAST(CONCAT('0x', SUBSTR(md5(token), 9, 8)) AS BIGINT) AS lo
+          FROM toks
+        ),
+        sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM words GROUP BY doc_id)
+        SELECT doc_id, CAST({_SIMHASH_SIG} AS BIGINT) AS simhash FROM sums
+        ORDER BY doc_id
+        """
+    ).df().set_index("doc_id")["simhash"].sort_index()
+
+    # docs with zero tokens produce no signature row in either engine
+    assert set(got.index) == set(want.index)
+    mism = got[got != want]
+    assert mism.empty, f"signature drift on doc_ids {list(mism.index)[:5]}"
+
+
+def test_lsh_pairs_match_exact_jaccard_on_random_corpus(spark):
+    """MinHash-LSH pair set == brute-force exact-Jaccard pair set on a
+    random corpus with planted near-duplicates (one word mutated in a
+    40-60 word doc -> true jaccard ~0.85-0.95; banded miss probability
+    <= ~4e-7 per pair, deterministic under the seeded hashing). Fuzzes
+    the full shingle->signature->band->verify path off-fixture."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators import dedup
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(300)]
+    base = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(40, 60)))
+        for _ in range(60)
+    ]
+    docs = list(base)
+    for i in range(0, 60, 3):  # plant a near-dup of every third doc
+        words = base[i].split()
+        words[rng.randrange(len(words))] = rng.choice(vocab)
+        docs.append(" ".join(words))
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+
+    got = {
+        (r["id1"], r["id2"])
+        for r in dedup.minhash_lsh_pairs(
+            spark.createDataFrame(pdf), "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    from aws_snowflake_kinesis_airflow_pipeline_spark.plans.llm_suite import (
+        _EXACT_JACCARD_PAIRS_SQL,
+    )
+
+    want = {
+        (r[0], r[1])
+        for r in con.execute(_EXACT_JACCARD_PAIRS_SQL).fetchall()
+    }
+    assert got == want, (
+        f"missed: {sorted(want - got)[:5]}  extra: {sorted(got - want)[:5]}"
+    )
