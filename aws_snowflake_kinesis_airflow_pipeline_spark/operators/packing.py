@@ -36,6 +36,7 @@ def pack_sequences(
     token_count_col: str,
     max_tokens: int,
     num_partitions: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Assign every document to a pack such that each pack's token total
     is <= max_tokens (documents longer than the budget get a singleton
@@ -43,7 +44,10 @@ def pack_sequences(
 
     Deterministic: partition assignment is a content hash of the id, and
     packing order inside a partition is sorted — same input, same packs,
-    any cluster shape.
+    any cluster shape. ``hash_fn="md5"`` swaps the part hash for the
+    engine-portable md5 bucket (sampling.hash_bucket) so a DuckDB oracle
+    can replay the identical partitioning — xxhash64 exists only in
+    Spark. Same trick as deterministic_shuffle's portable permutation.
     """
 
     def pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -87,12 +91,18 @@ def pack_sequences(
             )
 
     n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if hash_fn == "md5":
+        from .sampling import hash_bucket
+
+        part = hash_bucket(F.col(id_col).cast("string"), n_part)
+    elif hash_fn == "xxhash64":
+        part = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_part))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     prepared = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(token_count_col).cast("long").alias("n_tokens"),
-        (
-            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_part))
-        ).alias("part"),
+        part.alias("part"),
     ).repartition(n_part, "part")
     return prepared.mapInPandas(
         lambda it: pack_partition(it), schema=_PACK_SCHEMA

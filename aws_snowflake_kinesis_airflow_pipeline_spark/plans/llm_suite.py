@@ -5,11 +5,13 @@ Oracle policy: every op whose fixture result is deterministic and
 SQL-expressible gets DuckDB SQL — including the LSH near-dup flagships,
 whose exact-verified candidates match exact-Jaccard ground truth (recall
 is deterministically 1.0 on the fixtures, pinned by test). Rows-only is
-reserved for genuinely non-SQL ops (probe-subset top-k,
-partition-local FFD packing), with pytest coverage planting known
-duplicates to pin recall. SimHash (c4) graduated from rows-only to a
-full oracle by deriving its token hash from md5 (portable across
-engines) instead of xxhash64.
+reserved for genuinely non-SQL ops (the KMeans-backed IVF probe, whose
+centroids are not SQL-derivable), with pytest coverage pinning recall.
+SimHash (c4) graduated from rows-only to a full oracle by deriving its
+token hash from md5 (portable across engines) instead of xxhash64; the
+LSH ANN (c7) graduated by inlining its fixed hyperplanes as SQL
+literals; FFD packing (c18) by making its partition hash md5-portable
+and replaying first-fit-decreasing in a recursive CTE with list state.
 """
 
 from __future__ import annotations
@@ -276,12 +278,62 @@ def c6_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LSH ANN oracle: the hyperplanes for (dim=64, n_bits=8, seed=42) are
+# fixed constants, so they are inlined as DOUBLE[] literals and DuckDB
+# recomputes every vector's sign bucket, the query's probe set (own bucket
+# + all Hamming-1 neighbors), and the exact cosine top-k within the probed
+# subset — the bucket arithmetic (dot > 0 -> bit b -> +2^b) mirrors
+# operators/similarity.py::_bucket_of / hyperplane_buckets_udf bit for bit
+# (float64 summation-order divergence would need |dot| ~ 1e-15; verified
+# zero bucket mismatches across both fixture SFs).
+def _lsh_bucket_sql_expr() -> str:
+    planes = dedup._hyperplanes(dim=64, n_bits=8, seed=42)
+    terms = []
+    for b, p in enumerate(planes):
+        lit = "[" + ",".join(repr(x) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"{lit}) > 0 THEN {1 << b} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_LSH_TOPK_SQL = f"""
+    WITH buckets AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql_expr()} AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT bucket, CAST(embedding AS DOUBLE[]) AS qv
+      FROM buckets WHERE vec_id = {_QUERY_VEC_ID}
+    ),
+    probes AS (
+      SELECT (SELECT bucket FROM q) AS pb
+      UNION ALL
+      SELECT xor((SELECT bucket FROM q), 1 << b) FROM range(8) t(b)
+    )
+    SELECT b.vec_id,
+           ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                        (SELECT qv FROM q)), 4) AS cosine
+    FROM buckets b
+    WHERE b.bucket IN (SELECT pb FROM probes) AND b.vec_id <> {_QUERY_VEC_ID}
+    ORDER BY cosine DESC, b.vec_id
+    LIMIT 10
+"""
+
+
 @register(
     "c7_cosine_topk_lsh",
-    oracle=None,  # approximate (bucket-probed subset)
-    survey_ref="§2 B12 LSH-bucketed ANN (scale path: probe ≈9/256 of data)",
+    oracle=_LSH_TOPK_SQL,
+    survey_ref="§2 B12 LSH-bucketed ANN (scale path: probe ≈9/256 of "
+    "data); oracle inlines the fixed hyperplanes and recomputes bucket "
+    "assignment, probe set, and probed-subset exact top-k in SQL",
 )
 def c7_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k, but deterministically so: the probed subset is a
+    pure function of the fixed hyperplanes, so the oracle reproduces the
+    identical result rows — graduating c7 from rows-only to a full
+    cross-engine hash check (the c4 playbook, applied to ANN)."""
     emb = _emb(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).first()["embedding"]
     return similarity.lsh_topk(
@@ -496,20 +548,89 @@ def c17_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select("doc_id", "lang", "split", "shuffle_rank")
 
 
+# FFD packing oracle: the operator is deterministic end to end — part =
+# md5 bucket of doc_id (engine-portable), order within part = (n_tokens
+# DESC, doc_id), first-fit over open bins — so DuckDB can REPLAY the
+# exact algorithm: a recursive CTE walks each part's docs in order (all
+# parts advance in lockstep, one doc per part per step) carrying the open
+# bins' remaining capacities as BIGINT[] list state; list_position finds
+# the first bin that fits, list slicing rebuilds the updated state.
+# Recursion depth = max docs per part (~n/32); the oracle only ever runs
+# at fixture SF.
+_FFD_PART, _FFD_BUDGET = 32, 256
+_FFD_IDX = "list_position(list_transform(f.caps, c -> c >= o.n_tokens), true)"
+_SEQ_PACKING_SQL = f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id,
+             LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'),
+                             x -> x <> '')) AS n_tokens,
+             CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % {_FFD_PART} AS part
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, n_tokens, part,
+             ROW_NUMBER() OVER (PARTITION BY part
+                                ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM docs
+    ),
+    ffd(part, rn, caps, bin) AS (
+      SELECT part, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+             CAST(NULL AS BIGINT)
+      FROM (SELECT DISTINCT part FROM ordered)
+      UNION ALL
+      SELECT o.part, o.rn,
+             CASE WHEN COALESCE({_FFD_IDX}, 0) = 0
+                  THEN list_append(f.caps,
+                                   GREATEST({_FFD_BUDGET} - o.n_tokens, 0))
+                  ELSE list_concat(list_concat(
+                         f.caps[:{_FFD_IDX}-1],
+                         [f.caps[{_FFD_IDX}] - o.n_tokens]),
+                         f.caps[{_FFD_IDX}+1:]) END,
+             CASE WHEN COALESCE({_FFD_IDX}, 0) = 0 THEN len(f.caps) + 1
+                  ELSE {_FFD_IDX} END
+      FROM ffd f JOIN ordered o ON o.part = f.part AND o.rn = f.rn + 1
+    ),
+    assigned AS (
+      SELECT o.doc_id, o.n_tokens,
+             'p' || CAST(f.part AS VARCHAR) || '_'
+                 || CAST(f.bin - 1 AS VARCHAR) AS pack_id
+      FROM ffd f JOIN ordered o ON o.part = f.part AND o.rn = f.rn
+      WHERE f.rn >= 1
+    )
+    SELECT pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens
+    FROM assigned GROUP BY pack_id ORDER BY pack_id
+"""
+
+
 @register(
     "c18_sequence_packing_stats",
-    oracle=None,  # partition-local first-fit-decreasing; pinned by tests
+    oracle=_SEQ_PACKING_SQL,
     survey_ref="north-star sequence packing (token-budget bin packing, "
-    "partition-parallel FFD via mapInPandas)",
+    "partition-parallel FFD via mapInPandas); oracle replays the exact "
+    "md5-part + first-fit-decreasing algorithm in a recursive CTE with "
+    "list state — graduated from rows-only",
 )
 def c18_sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack stats of the FFD packing. The md5 part hash (portable) and
+    a pinned partition count make the pack ids a pure function of the
+    corpus, so the oracle hash-checks every pack's membership stats —
+    partitioning-scheme determinism is itself under test (the xxhash64
+    production path keeps its own partition-invariance pytest)."""
     from ..functions.text import token_count
     from ..operators.packing import pack_sequences
 
     docs = _docs(spark, sf_dir).select(
         "doc_id", token_count("text").alias("n_tokens")
     )
-    packed = pack_sequences(docs, "doc_id", "n_tokens", max_tokens=256)
+    packed = pack_sequences(
+        docs,
+        "doc_id",
+        "n_tokens",
+        max_tokens=_FFD_BUDGET,
+        num_partitions=_FFD_PART,
+        hash_fn="md5",
+    )
     return (
         packed.groupBy("pack_id")
         .agg(
