@@ -559,20 +559,25 @@ def c17_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at fixture SF.
 _FFD_PART, _FFD_BUDGET = 32, 256
 _FFD_IDX = "list_position(list_transform(f.caps, c -> c >= o.n_tokens), true)"
-_SEQ_PACKING_SQL = f"""
-    WITH RECURSIVE docs AS (
-      SELECT doc_id,
-             LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'),
-                             x -> x <> '')) AS n_tokens,
+
+
+def ffd_oracle_sql(docs_cte: str, n_part: int, budget: int) -> str:
+    """DuckDB replay of pack_sequences(hash_fn='md5'): ``docs_cte`` must
+    yield (doc_id, n_tokens). Exposed so fuzz tests can run the identical
+    oracle over arbitrary generated corpora, not just the fixture."""
+    return f"""
+    WITH RECURSIVE docs AS ({docs_cte}),
+    parted AS (
+      SELECT doc_id, n_tokens,
              CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                  AS UBIGINT) % {_FFD_PART} AS part
-      FROM documents
+                  AS UBIGINT) % {n_part} AS part
+      FROM docs
     ),
     ordered AS (
       SELECT doc_id, n_tokens, part,
              ROW_NUMBER() OVER (PARTITION BY part
                                 ORDER BY n_tokens DESC, doc_id) AS rn
-      FROM docs
+      FROM parted
     ),
     ffd(part, rn, caps, bin) AS (
       SELECT part, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
@@ -582,7 +587,7 @@ _SEQ_PACKING_SQL = f"""
       SELECT o.part, o.rn,
              CASE WHEN COALESCE({_FFD_IDX}, 0) = 0
                   THEN list_append(f.caps,
-                                   GREATEST({_FFD_BUDGET} - o.n_tokens, 0))
+                                   GREATEST({budget} - o.n_tokens, 0))
                   ELSE list_concat(list_concat(
                          f.caps[:{_FFD_IDX}-1],
                          [f.caps[{_FFD_IDX}] - o.n_tokens]),
@@ -601,6 +606,18 @@ _SEQ_PACKING_SQL = f"""
     SELECT pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens
     FROM assigned GROUP BY pack_id ORDER BY pack_id
 """
+
+
+_SEQ_PACKING_SQL = ffd_oracle_sql(
+    """
+      SELECT doc_id,
+             LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    """,
+    _FFD_PART,
+    _FFD_BUDGET,
+)
 
 
 @register(

@@ -201,3 +201,97 @@ def test_lsh_pairs_match_exact_jaccard_on_random_corpus(spark):
     assert got == want, (
         f"missed: {sorted(want - got)[:5]}  extra: {sorted(got - want)[:5]}"
     )
+
+
+def test_ffd_packing_matches_duckdb_on_random_token_counts(spark):
+    """pack_sequences(hash_fn='md5') == the recursive-CTE FFD oracle on a
+    hostile random size distribution: zeros, budget-sized docs, oversize
+    docs (> budget -> singleton pack with clamped capacity 0), ties on
+    n_tokens (doc_id tiebreak), and a non-fixture partition count."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+    from aws_snowflake_kinesis_airflow_pipeline_spark.plans.llm_suite import (
+        ffd_oracle_sql,
+    )
+
+    rng = random.Random(11)
+    budget, n_part = 100, 8
+    sizes = (
+        [0, 0, 1, budget, budget, budget + 1, budget * 3]
+        + [rng.choice([7, 7, 7, 13, 40, 40, 99, 100, 101, 250]) for _ in range(400)]
+    )
+    pdf = pd.DataFrame(
+        {"doc_id": [i * 7 + 3 for i in range(len(sizes))], "n_tokens": sizes}
+    )
+    packed = pack_sequences(
+        spark.createDataFrame(pdf),
+        "doc_id",
+        "n_tokens",
+        max_tokens=budget,
+        num_partitions=n_part,
+        hash_fn="md5",
+    ).collect()
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for r in packed:
+        members[r["pack_id"]].append(r["n_tokens"])
+    got_set = {
+        (pid, len(ts), sum(ts)) for pid, ts in members.items()
+    }
+
+    con = duckdb.connect()
+    con.register("raw_docs", pdf)
+    want = con.execute(
+        ffd_oracle_sql("SELECT doc_id, n_tokens FROM raw_docs", n_part, budget)
+    ).fetchall()
+    want_set = {(a, int(b), int(c)) for a, b, c in want}
+    assert got_set == want_set, (
+        f"spark-only: {sorted(got_set - want_set)[:5]} "
+        f"oracle-only: {sorted(want_set - got_set)[:5]}"
+    )
+    # budget honored: a pack only exceeds the budget via a single oversize
+    # doc; the docs that fit the budget never collectively exceed it
+    # (0-token docs may legally ride along in an oversize bin of capacity 0)
+    for pid, ts in members.items():
+        fitting = [t for t in ts if t <= budget]
+        assert sum(fitting) <= budget
+        assert len([t for t in ts if t > budget]) <= 1
+
+
+def test_lsh_ann_topk_matches_duckdb_on_random_vectors(spark):
+    """lsh_topk == the inlined-hyperplane DuckDB replay on random gaussian
+    vectors — bucket assignment (float64 sign arithmetic across engines),
+    probe-set expansion, and probed-subset exact top-k, off-fixture."""
+    import numpy as np
+
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators import similarity
+
+    rng = np.random.default_rng(5)
+    n, dim = 400, 64
+    vecs = rng.standard_normal((n, dim))
+    # plant two near-copies of the query so the top of the ranking is
+    # non-trivial (fixture vectors are near-orthogonal)
+    vecs[1] = vecs[0] + 0.01 * rng.standard_normal(dim)
+    vecs[2] = vecs[0] + 0.05 * rng.standard_normal(dim)
+    pdf = pd.DataFrame(
+        {"vec_id": range(n), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.lsh_topk(
+            sdf, "embedding", "vec_id", list(map(float, vecs[0])),
+            k=10, probe_hamming=1, exclude_ids=[0],
+        ).collect()
+    ]
+
+    from aws_snowflake_kinesis_airflow_pipeline_spark.plans.llm_suite import (
+        _LSH_TOPK_SQL,
+    )
+
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    want = [(r[0], r[1]) for r in con.execute(_LSH_TOPK_SQL).fetchall()]
+    assert got == want
