@@ -495,12 +495,18 @@ def b8_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     here, and the driver-checked booleans assert the digest lands within
     1% of the exact value (observed ~0.02% at accuracy=10000; the digest
     is deterministic for fixed data) — same error-band-oracle pattern as
-    b8_approx_count_distinct."""
+    b8_approx_count_distinct.
+
+    Both quantiles come from ONE percentile buffer each (array-form
+    ``percentile(col, array(0.5, 0.9))``): per-quantile calls build and
+    merge a separate value->count map / digest per quantile — measured
+    ~1.6x slower on the moments branch at sf1."""
     li = _t(spark, sf_dir, "lineitem")
     distincts = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
     )
+    qs = F.array(F.lit(0.5), F.lit(0.9))
     moments = li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
@@ -510,20 +516,10 @@ def b8_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
             "cov_qty_price"
         ),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
-            "median_price"
+        F.percentile("l_extendedprice", qs).alias("_pcts"),
+        F.approx_percentile("l_extendedprice", qs, F.lit(10000)).alias(
+            "_apcts"
         ),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias(
-            "p90_price"
-        ),
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("_med_exact"),
-        F.percentile("l_extendedprice", F.lit(0.9)).alias("_p90_exact"),
-        F.approx_percentile(
-            "l_extendedprice", F.lit(0.5), F.lit(10000)
-        ).alias("_med_approx"),
-        F.approx_percentile(
-            "l_extendedprice", F.lit(0.9), F.lit(10000)
-        ).alias("_p90_approx"),
     )
     moments = moments.select(
         "l_returnflag",
@@ -531,17 +527,17 @@ def b8_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "var_disc",
         "corr_qty_price",
         "cov_qty_price",
-        "median_price",
-        "p90_price",
+        F.round(F.col("_pcts")[0], 4).alias("median_price"),
+        F.round(F.col("_pcts")[1], 4).alias("p90_price"),
         (
             (
-                F.abs(F.col("_med_approx") - F.col("_med_exact"))
-                / F.col("_med_exact")
+                F.abs(F.col("_apcts")[0] - F.col("_pcts")[0])
+                / F.col("_pcts")[0]
                 <= 0.01
             )
             & (
-                F.abs(F.col("_p90_approx") - F.col("_p90_exact"))
-                / F.col("_p90_exact")
+                F.abs(F.col("_apcts")[1] - F.col("_pcts")[1])
+                / F.col("_pcts")[1]
                 <= 0.01
             )
         ).alias("approx_pctl_within_1pct"),
@@ -575,14 +571,23 @@ def b8_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable). The oracle recomputes the exact count and pins the boolean
     TRUE — if the sketch ever strayed outside its documented band the
     hash check would fail. The production op at 100 TB is the sketch
-    alone; the exact count here is the verification harness."""
+    alone; the exact count here is the verification harness.
+
+    The exact and sketch branches are SEPARATE aggregates joined on the
+    3-row key: mixing countDistinct with any other aggregate makes
+    Catalyst Expand every input row into the distinct shuffle alongside
+    the sketch buffer (measured ~4.7x slower at sf1) — same split as
+    b8_stats_pack, and the sketch branch alone is the one that ships to
+    100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx")
+    )
     return (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("exact_parts"),
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
-        )
+        exact.join(F.broadcast(approx), "l_returnflag")
         .select(
             "l_returnflag",
             "exact_parts",

@@ -30,7 +30,8 @@ outputs grow quadratically instead of linearly:
 Deterministic output (no RNG), idempotent, writes only under .scale/
 (gitignored -- this is ~1 GB of derived bench data, not source).
 
-Usage: python tools/make_sf1.py [out_dir]   # default .scale/sf1
+Usage: python tools/make_sf1.py [replicas] [out_dir]
+       # defaults: 10 replicas -> .scale/sf1; 100 -> .scale/sf10 etc.
 """
 
 from __future__ import annotations
@@ -41,7 +42,6 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-REPLICAS = 10
 
 # table -> (key columns to shift, offset = sf0.1 row count of the keyed table)
 KEY_SHIFTS: dict[str, dict[str, int]] = {
@@ -77,8 +77,11 @@ def replica_select(table: str, cols: list[str], i: int) -> str:
 
 
 def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1"
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    default_name = f"sf{replicas // 10}" if replicas % 10 == 0 else f"x{replicas}"
+    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale", default_name,
     )
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
@@ -87,7 +90,7 @@ def main() -> None:
         dst = f"{out}/{table}.parquet"
         con.execute(f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{src}'")
         cols = [r[0] for r in con.execute("DESCRIBE src").fetchall()]
-        n_rep = 1 if table in DIMS else REPLICAS
+        n_rep = 1 if table in DIMS else replicas
         union = " UNION ALL ".join(replica_select(table, cols, i) for i in range(n_rep))
         con.execute(f"COPY ({union}) TO '{dst}' (FORMAT PARQUET)")
         n = con.execute(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
