@@ -127,6 +127,7 @@ def ngram_jaccard_pairs(
     index: DataFrame | None = None,
     max_doc_freq: int | None = None,
     sizes: DataFrame | None = None,
+    per_doc_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-k-gram Jaccard >= threshold pairs (id1 < id2).
 
@@ -140,6 +141,15 @@ def ngram_jaccard_pairs(
     to (the LSH path); None verifies all co-shingled pairs.
     ``index``: optional prebuilt (materialized) shingle index to reuse
     across passes.
+    ``per_doc_sets``: optional per-doc shingle-hash ARRAYS (id, hs). With
+    ``candidates`` (and no ``max_doc_freq``) verification switches from
+    the exploded-index join — which shuffles the whole corpus-sized index
+    on (id2, shingle) however few candidates there are — to a
+    candidate-id semi-join that fetches only the candidate docs' sets,
+    then per-row ``size(array_intersect(...))``. Work becomes
+    candidate-volume, not corpus-volume (the same discipline as
+    embedding_near_dup_pairs' vector fetch); at bench SFs AQE broadcasts
+    the candidate-id side, so the corpus is never reshuffled at all.
     ``sizes``: optional per-doc set sizes (id, n_sh) to go with ``index``;
     without it (index supplied alone) sizes fall back to a groupBy over
     the index.
@@ -150,38 +160,91 @@ def ngram_jaccard_pairs(
     estimated Jaccard for pairs whose sole overlap is boilerplate — by
     design. Default None preserves exact semantics (and oracle parity).
     """
-    if index is not None:
-        sh = index
-        # Row-local sizes aren't recoverable from an exploded index
-        # without re-aggregating.
-        if sizes is None:
-            sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    else:
-        # localCheckpoint (not cache): materializes the per-doc shingle
-        # sets once for the sizes + pairing + verification passes,
-        # truncates lineage, and is released by the ContextCleaner when
-        # the result is GC'd — repeated suite runs in one session don't
-        # accumulate cache entries (cache() here re-registered an
-        # identical plan every call and warned).
-        per_doc = doc_shingles(df, id_col, text_col, k).localCheckpoint()
-        sh = per_doc.select(id_col, F.explode("hs").alias("shingle"))
-        if sizes is None:
-            sizes = per_doc.select(id_col, F.size("hs").alias("n_sh"))
-    if max_doc_freq is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_doc_freq)
-            .select("shingle")
-        )
-        sh = sh.join(hot, "shingle", "left_anti")
+    array_path = (
+        candidates is not None
+        and max_doc_freq is None
+        and (per_doc_sets is not None or index is None)
+    )
+    if not array_path:
+        if index is not None:
+            sh = index
+            # Row-local sizes aren't recoverable from an exploded index
+            # without re-aggregating.
+            if sizes is None:
+                sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        else:
+            # localCheckpoint (not cache): materializes the per-doc shingle
+            # sets once for the sizes + pairing + verification passes,
+            # truncates lineage, and is released by the ContextCleaner when
+            # the result is GC'd — repeated suite runs in one session don't
+            # accumulate cache entries (cache() here re-registered an
+            # identical plan every call and warned).
+            per_doc = doc_shingles(df, id_col, text_col, k).localCheckpoint()
+            sh = per_doc.select(id_col, F.explode("hs").alias("shingle"))
+            if sizes is None:
+                sizes = per_doc.select(id_col, F.size("hs").alias("n_sh"))
+        if max_doc_freq is not None:
+            hot = (
+                sh.groupBy("shingle")
+                .agg(F.count("*").alias("df"))
+                .filter(F.col("df") > max_doc_freq)
+                .select("shingle")
+            )
+            sh = sh.join(hot, "shingle", "left_anti")
 
+    if array_path:
+        # Candidate-set verification: fetch only the candidate docs'
+        # shingle sets (semi-join on the candidate ids — AQE broadcasts
+        # the id side when it is small), intersect per pair row-locally.
+        # No corpus-sized exchange anywhere: both joins below are sized by
+        # |candidates|.
+        ids1 = candidates.select(F.col("id1").alias(id_col))
+        ids2 = candidates.select(F.col("id2").alias(id_col))
+        ids = ids1.union(ids2).distinct()
+        if per_doc_sets is None:
+            # Derive sets for ONLY the candidate docs: the id semi-join
+            # lands before tokenization, so shingle compute is
+            # candidate-volume too. localCheckpoint because both pair
+            # joins below read it.
+            cand_sets = doc_shingles(
+                df.join(ids, id_col, "left_semi"), id_col, text_col, k
+            ).localCheckpoint()
+        else:
+            cand_sets = per_doc_sets.join(ids, id_col, "left_semi")
+        s1 = cand_sets.select(
+            F.col(id_col).alias("id1"), F.col("hs").alias("hs1")
+        )
+        s2 = cand_sets.select(
+            F.col(id_col).alias("id2"), F.col("hs").alias("hs2")
+        )
+        return (
+            candidates.join(s1, "id1")
+            .join(s2, "id2")
+            .select(
+                "id1",
+                "id2",
+                F.size(F.array_intersect("hs1", "hs2")).alias("n_inter"),
+                F.size("hs1").alias("n1"),
+                F.size("hs2").alias("n2"),
+            )
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_inter")
+                    / (F.col("n1") + F.col("n2") - F.col("n_inter")),
+                    4,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id1", "id2", "jaccard")
+        )
     a = sh.select(F.col(id_col).alias("id1"), "shingle")
     b = sh.select(F.col(id_col).alias("id2"), "shingle")
     if candidates is not None:
-        # Candidate-driven intersection: expand each candidate pair by id1's
-        # shingles, then equality-join id2's shingles — work proportional to
-        # |candidates| * avg shingles, not to all co-shingled pairs.
+        # Candidate-driven intersection over the exploded index (the
+        # array-set fast path above needs per_doc_sets and no hot cap):
+        # expand each candidate pair by id1's shingles, then equality-join
+        # id2's shingles.
         inter = (
             candidates.join(a, "id1")
             .join(b, ["id2", "shingle"])
@@ -305,7 +368,12 @@ def minhash_mins_udf(num_hashes: int = 64, seed: int = 1):
                 out[i] = row
         return pd.Series(out)
 
-    return _mins
+    # The kernel is pure, but advertising that lets Catalyst push the
+    # downstream isnotnull(mins) filter below the parallelism Exchange —
+    # duplicating the WHOLE kernel into a second ArrowEvalPython on the
+    # scan side (observed: 2x the kernel, run at scan parallelism).
+    # Nondeterministic pins one evaluation, above the Exchange.
+    return _mins.asNondeterministic()
 
 
 def minhash_signatures(
@@ -326,9 +394,15 @@ def minhash_signatures(
         if per_doc is not None
         else doc_shingles(df, id_col, text_col, k)
     )
-    return src.filter(F.size("hs") > 0).select(
+    # Drop no-shingle docs AFTER the kernel, on its NULL output: a
+    # pre-filter on size(hs) gets the whole computed shingle expression
+    # inlined into the predicate by projection collapse, computing every
+    # shingle array twice in the fused stage (measured ~2x the signature
+    # pass on a streamed, non-checkpointed per_doc). The kernel already
+    # maps empty/NULL inputs to NULL signatures.
+    return src.select(
         id_col, minhash_mins_udf(num_hashes)(F.col("hs")).alias("mins")
-    )
+    ).filter(F.col("mins").isNotNull())
 
 
 def minhash_lsh_pairs(
@@ -347,19 +421,21 @@ def minhash_lsh_pairs(
     from an equality join on (band_id, band_hash); each candidate pair is
     then verified with exact Jaccard so false positives never escape.
 
-    Shuffle inventory (the 100 TB accounting): signatures, set sizes, and
-    the inverted index are all row-local projections of one materialized
+    Shuffle inventory (the 100 TB accounting): signatures and the per-doc
+    shingle sets are row-local projections of one materialized
     :func:`doc_shingles` pass — the FIRST exchange in the whole operator
     is the band-bucket candidate join, and everything after it is sized
-    by candidates, not corpus.
+    by candidates, not corpus (verification fetches only candidate docs'
+    sets via semi-join and intersects arrays row-locally; see
+    ngram_jaccard_pairs' ``per_doc_sets``).
     """
     rows = num_hashes // bands
-    # Shared by the signature pass and the exact-Jaccard verification pass;
-    # localCheckpoint materializes it once without polluting the session
-    # cache (see ngram_jaccard_pairs).
-    per_doc = doc_shingles(df, id_col, text_col, k).localCheckpoint()
-    sh = per_doc.select(id_col, F.explode("hs").alias("shingle"))
-    sizes = per_doc.select(id_col, F.size("hs").alias("n_sh"))
+    # NOT checkpointed: the shingle arrays stream straight into the
+    # signature kernel and are consumed exactly once — materializing the
+    # full corpus's sets (~8 B x shingles x docs) bought nothing once
+    # verification went candidate-filtered (it re-derives sets for only
+    # the candidate docs; see ngram_jaccard_pairs).
+    per_doc = doc_shingles(df, id_col, text_col, k)
     sig = minhash_signatures(
         df, id_col, text_col, num_hashes, k, per_doc=per_doc
     )
@@ -375,9 +451,16 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    buckets = sig.select(
-        id_col, F.explode(F.array(*band_structs)).alias("band")
-    ).select(id_col, "band.band_id", "band.band_hash")
+    # localCheckpoint the narrow (id, band_id, band_hash) triple: the
+    # candidate self-join reads it on BOTH sides, and without
+    # materialization each side re-runs the whole signature kernel (the
+    # operator's dominant compute — measured 2x the kernel at sf10). Same
+    # discipline as embedding_near_dup_pairs' bucket triple.
+    buckets = (
+        sig.select(id_col, F.explode(F.array(*band_structs)).alias("band"))
+        .select(id_col, "band.band_id", "band.band_hash")
+        .localCheckpoint()
+    )
 
     left = buckets.select(
         F.col(id_col).alias("id1"), "band_id", "band_hash"
@@ -385,11 +468,16 @@ def minhash_lsh_pairs(
     right = buckets.select(
         F.col(id_col).alias("id2"), "band_id", "band_hash"
     )
+    # Checkpointed: candidate-sized (the S-curve keeps it linear in the
+    # corpus), and the verification step reads it three times (two pair
+    # joins + the id semi-join) — without materialization each read
+    # re-runs the banding self-join.
     candidates = (
         left.join(right, ["band_id", "band_hash"])
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
         .distinct()
+        .localCheckpoint()
     )
     return ngram_jaccard_pairs(
         df,
@@ -398,8 +486,6 @@ def minhash_lsh_pairs(
         k=k,
         threshold=threshold,
         candidates=candidates,
-        index=sh,
-        sizes=sizes,
     )
 
 
