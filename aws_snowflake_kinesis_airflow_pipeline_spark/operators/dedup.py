@@ -861,39 +861,65 @@ def embedding_near_dup_pairs(
     vecs = _spread(df.select(F.col(id_col), v.alias("v")), id_col)
     # All n_tables bucket ids in ONE projection + posexplode — a single scan
     # of the corpus regardless of table count (a union of per-table branches
-    # would re-scan the input n_tables times). Only the narrow
-    # (id, table, bucket) triple is materialized (localCheckpoint) for the
-    # self-join: carrying the vectors through bucket matching would shuffle
-    # every embedding n_tables times; this way full vectors are only
-    # fetched for the candidate pairs that survive bucketing.
+    # would re-scan the input n_tables times).
     bucket_fn = hyperplane_buckets_udf(
         [_hyperplanes(dim, n_bits, seed + t * 1000) for t in range(n_tables)]
     )
-    buckets = (
-        vecs.select(
-            id_col,
-            F.posexplode(bucket_fn(F.col("v"))).alias("table_id", "bucket"),
-        )
-        .localCheckpoint()
+    exploded = vecs.select(
+        id_col,
+        "v",
+        F.posexplode(bucket_fn(F.col("v"))).alias("table_id", "bucket"),
     )
+    # In-bucket verification: group by (table, bucket) and score every
+    # in-bucket pair with ONE normalized matmul per bucket. The corpus is
+    # shuffled exactly n_tables times (once per table, ~vector volume);
+    # the earlier candidate-join formulation materialized the pair list
+    # and fetched both vectors per pair — at 15M candidates (sf10) that
+    # shuffled ~2 x 512 B x pairs ≈ 15 GB and took 42 s where this takes
+    # the vector volume only. Quadratic in-bucket work is identical in
+    # both shapes and bounded by the auto-sized occupancy; the matmul is
+    # row-blocked so a pathological hot bucket degrades to more blocks,
+    # not more memory.
+    thr = float(threshold)
 
-    candidates = (
-        buckets.select(F.col(id_col).alias("id1"), "table_id", "bucket")
-        .join(
-            buckets.select(F.col(id_col).alias("id2"), "table_id", "bucket"),
-            ["table_id", "bucket"],
-        )
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        .distinct()
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_i, out_j, out_c = [], [], []
+        ids_all = pdf[id_col].to_numpy()
+        vs = pdf["v"]
+        by_len: dict[int, list[int]] = {}
+        for pos, vec in enumerate(vs):
+            if vec is not None and len(vec) > 0:
+                by_len.setdefault(len(vec), []).append(pos)
+        for _, poss in by_len.items():
+            if len(poss) < 2:
+                continue
+            mat = np.stack([np.asarray(vs.iloc[p], dtype=np.float64) for p in poss])
+            norms = np.linalg.norm(mat, axis=1)
+            ok = norms > 0  # zero vectors: NULL cosine semantics -> excluded
+            if ok.sum() < 2:
+                continue
+            mat = mat[ok] / norms[ok, None]
+            ids = ids_all[[p for p, keep in zip(poss, ok) if keep]]
+            n = len(ids)
+            block = 4096
+            for b0 in range(0, n, block):
+                cos_blk = np.round(mat[b0 : b0 + block] @ mat.T, 4)
+                for bi in range(cos_blk.shape[0]):
+                    i = b0 + bi
+                    hits = np.flatnonzero(cos_blk[bi, i + 1 :] >= thr) + i + 1
+                    for j in hits:
+                        a, b = ids[i], ids[j]
+                        if a > b:
+                            a, b = b, a
+                        out_i.append(a)
+                        out_j.append(b)
+                        out_c.append(float(cos_blk[bi, j]))
+        return pd.DataFrame({"id1": out_i, "id2": out_j, "cosine": out_c})
+
+    pairs = exploded.groupBy("table_id", "bucket").applyInPandas(
+        _bucket_pairs, schema="id1 long, id2 long, cosine double"
     )
-    v1 = vecs.select(F.col(id_col).alias("id1"), F.col("v").alias("v1"))
-    v2 = vecs.select(F.col(id_col).alias("id2"), F.col("v").alias("v2"))
-    cos = cosine_pairs_udf()
-    return (
-        candidates.join(v1, "id1")
-        .join(v2, "id2")
-        .withColumn("cosine", F.round(cos(F.col("v1"), F.col("v2")), 4))
-        .filter(F.col("cosine") >= threshold)
-        .select("id1", "id2", "cosine")
-    )
+    # A pair can surface from up to n_tables buckets — identical inputs
+    # and arithmetic give an identical rounded cosine, so a plain distinct
+    # (candidate-sized) dedupes across tables.
+    return pairs.filter(F.col("id1") != F.col("id2")).distinct()
