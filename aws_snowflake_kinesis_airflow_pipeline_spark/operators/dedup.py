@@ -907,14 +907,24 @@ def embedding_near_dup_pairs(
                 for bi in range(cos_blk.shape[0]):
                     i = b0 + bi
                     hits = np.flatnonzero(cos_blk[bi, i + 1 :] >= thr) + i + 1
-                    for j in hits:
-                        a, b = ids[i], ids[j]
-                        if a > b:
-                            a, b = b, a
-                        out_i.append(a)
-                        out_j.append(b)
-                        out_c.append(float(cos_blk[bi, j]))
-        return pd.DataFrame({"id1": out_i, "id2": out_j, "cosine": out_c})
+                    if len(hits) == 0:
+                        continue
+                    a = np.full(len(hits), ids[i])
+                    b = ids[hits]
+                    out_i.append(np.minimum(a, b))
+                    out_j.append(np.maximum(a, b))
+                    out_c.append(cos_blk[bi, hits])
+        if not out_i:
+            return pd.DataFrame({"id1": [], "id2": [], "cosine": []}).astype(
+                {"id1": "int64", "id2": "int64", "cosine": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "id1": np.concatenate(out_i),
+                "id2": np.concatenate(out_j),
+                "cosine": np.concatenate(out_c),
+            }
+        )
 
     pairs = exploded.groupBy("table_id", "bucket").applyInPandas(
         _bucket_pairs, schema="id1 long, id2 long, cosine double"
