@@ -25,7 +25,7 @@ import random
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import adaptive_shingles, tokens, word_shingles
@@ -496,109 +496,183 @@ def minhash_lsh_pairs(
 _SIMHASH_BITS = 64
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document: sum +/-1 per bit over token hashes
-    (weighted by term frequency via non-distinct explode), then take signs.
+#: md5-hex source range for each 32-bit hash word, in logical bit order:
+#: bits [32w, 32w+32) of the 128-bit token hash come from hex chars
+#: [start, start+8) of md5(token). The low pair mirrors the historical
+#: 64-bit layout (lo = chars 9-16, hi = chars 1-8) so 64-bit signatures
+#: are unchanged; the high pair repeats the pattern on chars 17-32.
+_SIMHASH_WORD_HEX_START = (9, 1, 25, 17)
 
-    64 conditional-sum aggregates in one groupBy — single shuffle.
 
-    The per-token 64-bit hash is the first 16 hex chars of md5, read as
-    two 32-bit words (``hi`` = chars 1-8, ``lo`` = chars 9-16; bit j of
-    the hash is bit j%32 of ``lo`` for j<32 else of ``hi``). md5 is the
-    engine-portable choice used across this repo's cross-engine recipes
-    (see ``operators/sampling.py``): DuckDB computes the identical hex
-    string, so the full signature — and therefore the near-dup pair set —
-    is oracle-checkable bit-for-bit. Still a pure JVM codegen expression,
-    two ``conv`` calls per token; no Python in the row path.
+def _simhash_word_col(word: int) -> Column:
+    """Logical hash-word ``word`` (bits [32w, 32w+32)) of md5(token)."""
+    start = _SIMHASH_WORD_HEX_START[word]
+    return (
+        F.conv(F.substring(F.md5(F.col("token")), start, 8), 16, 10)
+        .cast("long")
+        .alias(f"w{word}")
+    )
+
+
+def _assemble_sig(sum_cols: list[str]) -> Column:
+    """Signed-long signature from 64 per-bit sum columns: bit j set iff
+    sum > 0; bit 63 is the sign bit of a signed long, so its contribution
+    is the two's-complement value."""
+    sig = F.lit(0).cast("long")
+    for j, s in enumerate(sum_cols[:-1]):
+        sig = sig + F.when(F.col(s) > 0, F.lit(1 << j)).otherwise(0)
+    return sig + F.when(
+        F.col(sum_cols[-1]) > 0, F.lit(-(1 << 63))
+    ).otherwise(0)
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """SimHash per document: sum +/-1 per bit over token hashes (weighted
+    by term frequency via non-distinct explode), then take signs.
+
+    One conditional-sum aggregate per bit, all in one groupBy — a single
+    shuffle regardless of width. ``bits=64`` (default) returns one signed
+    long ``simhash``; ``bits=128`` adds ``simhash_hi`` (logical bits
+    64-127) — the scale knob: pigeonhole chunk width in
+    :func:`simhash_near_dup_pairs` is ``bits/(max_hamming+1)``, and
+    spurious candidate volume is ~``n^2 / 2^chunk_width``, so doubling the
+    signature squares away the collision rate (18-bit chunks vs 9-bit at
+    max_hamming=6 → ~512x fewer unrelated-chunk collisions).
+
+    The per-token hash is md5 read as 32-bit words
+    (``_SIMHASH_WORD_HEX_START``; the 64-bit layout is unchanged from
+    earlier rounds). md5 is the engine-portable choice used across this
+    repo's cross-engine recipes (see ``operators/sampling.py``): DuckDB
+    computes the identical hex string, so the full signature — and
+    therefore the near-dup pair set — is oracle-checkable bit-for-bit at
+    either width. Still a pure JVM codegen expression; no Python in the
+    row path.
     """
-    hexh = F.md5(F.col("token"))
+    if bits not in (64, 128):
+        raise ValueError(f"bits must be 64 or 128, got {bits}")
+    n_words = bits // 32
     tok = _spread(df.select(id_col, text_col), id_col).select(
         id_col, F.explode(tokens(text_col)).alias("token")
-    ).select(
-        id_col,
-        F.conv(F.substring(hexh, 1, 8), 16, 10).cast("long").alias("hi"),
-        F.conv(F.substring(hexh, 9, 8), 16, 10).cast("long").alias("lo"),
-    )
+    ).select(id_col, *[_simhash_word_col(w) for w in range(n_words)])
     bit_sums = [
         F.sum(
             F.when(
-                F.shiftright(F.col("lo" if j < 32 else "hi"), j % 32)
+                F.shiftright(F.col(f"w{j // 32}"), j % 32)
                 .bitwiseAND(F.lit(1)) == 1,
                 1,
             ).otherwise(-1)
         ).alias(f"s{j}")
-        for j in range(_SIMHASH_BITS)
+        for j in range(bits)
     ]
     sums = tok.groupBy(id_col).agg(*bit_sums)
-    sig = F.lit(0).cast("long")
-    for j in range(_SIMHASH_BITS - 1):
-        sig = sig + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0)
-    # bit 63 is the sign bit of a signed long — add its two's-complement value
-    sig = sig + F.when(
-        F.col(f"s{_SIMHASH_BITS - 1}") > 0, F.lit(-(1 << 63))
-    ).otherwise(0)
-    return sums.select(id_col, sig.alias("simhash"))
+    out = [
+        id_col,
+        _assemble_sig([f"s{j}" for j in range(64)]).alias("simhash"),
+    ]
+    if bits == 128:
+        out.append(
+            _assemble_sig([f"s{j}" for j in range(64, 128)]).alias(
+                "simhash_hi"
+            )
+        )
+    return sums.select(*out)
+
+
+def _sig_chunk(words: list[Column], offset: int, width: int) -> Column:
+    """Bits [offset, offset+width) of a multi-word signature, where
+    ``words[i]`` holds logical bits [64i, 64i+64). Pure long shifts/masks
+    (codegen'd); a chunk straddling a word boundary ORs the two parts."""
+    mask = F.lit(-1 if width == 64 else (1 << width) - 1)
+    lo_word, hi_word = offset // 64, (offset + width - 1) // 64
+    low = F.shiftrightunsigned(words[lo_word], offset % 64)
+    if lo_word == hi_word:
+        return low.bitwiseAND(mask)
+    lo_bits = 64 - offset % 64
+    high = words[hi_word].bitwiseAND(F.lit((1 << (width - lo_bits)) - 1))
+    return low.bitwiseOR(F.shiftleft(high, lo_bits)).bitwiseAND(mask)
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= max_hamming.
 
-    Pigeonhole bucketing: split the 64-bit signature into ``max_hamming+1``
-    chunks — a pair differing in <= max_hamming bits cannot differ in every
-    chunk, so it must agree exactly on >= 1, and an equality join per chunk
-    finds all such pairs without a cross product. (A fixed chunk count
-    would silently miss pairs once max_hamming >= n_chunks.) Verification
-    = bit_count(xor) — exact, no false positives.
+    Pigeonhole bucketing: split the ``bits``-wide signature into
+    ``max_hamming+1`` chunks — a pair differing in <= max_hamming bits
+    cannot differ in every chunk, so it must agree exactly on >= 1, and an
+    equality join per chunk finds all such pairs without a cross product.
+    (A fixed chunk count would silently miss pairs once max_hamming >=
+    n_chunks.) Verification = bit_count(xor) per word — exact, no false
+    positives.
+
+    ``bits`` is the scale knob: unrelated-pair chunk collisions are
+    ~``n_chunks * n^2 / 2^(bits/n_chunks)``, so at corpus scale a 64-bit
+    signature at max_hamming=6 (9-bit chunks) drowns in spurious
+    candidates while 128-bit (18-bit chunks) cuts them ~512x — same
+    equality-join shape, one extra long column through the exchange.
     """
     n_chunks = max_hamming + 1
-    base, extra = divmod(_SIMHASH_BITS, n_chunks)
+    base, extra = divmod(bits, n_chunks)
     widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
 
-    sig = simhash_signatures(df, id_col, text_col)
+    sig_cols = ["simhash"] + (["simhash_hi"] if bits == 128 else [])
+    sig = simhash_signatures(df, id_col, text_col, bits=bits)
+    words = [F.col(c) for c in sig_cols]
     # localCheckpoint: the self-join reads the chunk table twice — without
-    # it both sides replay the full signature aggregation (explode + 64
-    # conditional sums over every token).
+    # it both sides replay the full signature aggregation (explode + one
+    # conditional sum per bit over every token).
     chunks = sig.select(
         id_col,
-        "simhash",
+        *sig_cols,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftrightunsigned(F.col("simhash"), offsets[c])
-                        .bitwiseAND(F.lit((1 << widths[c]) - 1))
-                        .alias("chunk_val"),
+                        _sig_chunk(words, offsets[c], widths[c]).alias(
+                            "chunk_val"
+                        ),
                     )
                     for c in range(n_chunks)
                 ]
             )
         ).alias("ch"),
-    ).select(id_col, "simhash", "ch.chunk_id", "ch.chunk_val").localCheckpoint()
+    ).select(
+        id_col, *sig_cols, "ch.chunk_id", "ch.chunk_val"
+    ).localCheckpoint()
 
     left = chunks.select(
         F.col(id_col).alias("id1"),
-        F.col("simhash").alias("sh1"),
+        *[F.col(c).alias(f"{c}_1") for c in sig_cols],
         "chunk_id",
         "chunk_val",
     )
     right = chunks.select(
         F.col(id_col).alias("id2"),
-        F.col("simhash").alias("sh2"),
+        *[F.col(c).alias(f"{c}_2") for c in sig_cols],
         "chunk_id",
         "chunk_val",
     )
+    hamming = F.bit_count(F.col("simhash_1").bitwiseXOR(F.col("simhash_2")))
+    if bits == 128:
+        hamming = hamming + F.bit_count(
+            F.col("simhash_hi_1").bitwiseXOR(F.col("simhash_hi_2"))
+        )
     return (
         left.join(right, ["chunk_id", "chunk_val"])
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "sh1", "sh2")
-        .distinct()
-        .withColumn(
-            "hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+        .select(
+            "id1", "id2", *[f"{c}_{s}" for c in sig_cols for s in (1, 2)]
         )
+        .distinct()
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )

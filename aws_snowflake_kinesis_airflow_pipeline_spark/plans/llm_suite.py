@@ -159,18 +159,44 @@ def c3_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in SQL (same hi/lo word convention as operators/dedup.py::
 # simhash_signatures), then take ALL pairs with Hamming <= 6 — the oracle
 # is the brute-force ground truth, so this also re-proves the pigeonhole
-# candidate generation loses nothing. The 64 bit-vote sums and the
+# candidate generation loses nothing. The bit-vote sums and the
 # two's-complement signature assembly are generated here rather than
-# hand-written.
+# hand-written. The registered query runs the 128-bit scale configuration
+# (18-bit pigeonhole chunks at max_hamming=6 — the signature width IS the
+# candidate-volume knob, see dedup.simhash_near_dup_pairs); the 64-bit
+# generators are kept for the signature fuzz test.
 _SIMHASH_SUMS = ", ".join(
     f"SUM(CASE WHEN (({'lo' if j < 32 else 'hi'} >> {j % 32}) & 1) = 1 "
     f"THEN 1 ELSE -1 END) AS s{j}"
     for j in range(64)
 )
-_SIMHASH_SIG = " + ".join(
-    f"CASE WHEN s{j} > 0 THEN {-(1 << 63) if j == 63 else (1 << j)} "
-    f"ELSE 0 END"
-    for j in range(64)
+
+
+def _simhash_sig_sql(lo_bit: int) -> str:
+    """Two's-complement BIGINT assembly of sign-votes s{lo_bit}..s{lo_bit+63}
+    (bit 63 of a signed long contributes its negative place value)."""
+    return " + ".join(
+        f"CASE WHEN s{lo_bit + j} > 0 THEN "
+        f"{-(1 << 63) if j == 63 else (1 << j)} ELSE 0 END"
+        for j in range(64)
+    )
+
+
+_SIMHASH_SIG = _simhash_sig_sql(0)
+
+#: 32-bit hash words of the full md5: w{i} holds logical bits [32i, 32i+32).
+#: Hex-char starts mirror dedup._SIMHASH_WORD_HEX_START exactly.
+_SIMHASH_WORDS128 = ", ".join(
+    f"CAST(CONCAT('0x', SUBSTR(md5(token), {start}, 8)) AS BIGINT) AS w{w}"
+    for w, start in enumerate((9, 1, 25, 17))
+)
+_SIMHASH_SUMS128 = ", ".join(
+    f"SUM(CASE WHEN ((w{j // 32} >> {j % 32}) & 1) = 1 "
+    f"THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(128)
+)
+_SIMHASH_HAMMING128 = (
+    "BIT_COUNT(XOR(a.sig_lo, b.sig_lo)) + BIT_COUNT(XOR(a.sig_hi, b.sig_hi))"
 )
 _SIMHASH_PAIRS_SQL = f"""
     WITH toks AS (
@@ -179,20 +205,18 @@ _SIMHASH_PAIRS_SQL = f"""
                                 x -> x <> '')) AS token
       FROM documents
     ),
-    words AS (
-      SELECT doc_id,
-             CAST(CONCAT('0x', SUBSTR(md5(token), 1, 8)) AS BIGINT) AS hi,
-             CAST(CONCAT('0x', SUBSTR(md5(token), 9, 8)) AS BIGINT) AS lo
-      FROM toks
-    ),
-    sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM words GROUP BY doc_id),
+    words AS (SELECT doc_id, {_SIMHASH_WORDS128} FROM toks),
+    sums AS (SELECT doc_id, {_SIMHASH_SUMS128} FROM words GROUP BY doc_id),
     sig AS (
-      SELECT doc_id, CAST({_SIMHASH_SIG} AS BIGINT) AS simhash FROM sums
+      SELECT doc_id,
+             CAST({_simhash_sig_sql(0)} AS BIGINT) AS sig_lo,
+             CAST({_simhash_sig_sql(64)} AS BIGINT) AS sig_hi
+      FROM sums
     )
     SELECT a.doc_id AS id1, b.doc_id AS id2,
-           CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS INT) AS hamming
+           CAST({_SIMHASH_HAMMING128} AS INT) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 6
+    WHERE {_SIMHASH_HAMMING128} <= 6
     ORDER BY id1, id2
 """
 
@@ -201,17 +225,21 @@ _SIMHASH_PAIRS_SQL = f"""
     "c4_simhash_near_dups",
     oracle=_SIMHASH_PAIRS_SQL,
     survey_ref="§2 B11 SimHash near-dup (chunk pigeonhole + Hamming "
-    "verify); oracle = brute-force all-pairs Hamming over the identical "
-    "md5-derived signature, so candidate recall is proven exhaustive",
+    "verify) at the 128-bit scale configuration; oracle = brute-force "
+    "all-pairs Hamming over the identical md5-derived signature, so "
+    "candidate recall is proven exhaustive",
 )
 def c4_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signature hashing is md5-derived (engine-portable — see
-    simhash_signatures), so the oracle recomputes the exact 64-bit
+    simhash_signatures), so the oracle recomputes the exact 128-bit
     signatures and the exact pair set: a full bit-for-bit check of an
-    op that was rows-only when it hashed with xxhash64."""
+    op that was rows-only when it hashed with xxhash64. bits=128 is the
+    shipped scale configuration: pigeonhole chunks are 18 bits wide at
+    max_hamming=6, so unrelated-chunk collisions (the quadratic term a
+    64-bit signature suffers at corpus scale) drop ~512x."""
     return (
         dedup.simhash_near_dup_pairs(
-            _docs(spark, sf_dir), "doc_id", "text", max_hamming=6
+            _docs(spark, sf_dir), "doc_id", "text", max_hamming=6, bits=128
         )
         .withColumn("hamming", F.col("hamming").cast("int"))
         .orderBy("id1", "id2")

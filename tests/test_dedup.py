@@ -259,6 +259,51 @@ def test_simhash_pigeonhole_holds_above_three(spark):
     assert (1, 4) in pairs
 
 
+def test_simhash_128_exact_recall_and_low_word_identity(spark):
+    """The 128-bit scale configuration must (a) keep the low signature
+    word bit-identical to the 64-bit signature (same md5 words, same
+    assembly — the widening adds bits, it doesn't re-hash), and (b) find
+    EXACTLY the brute-force Hamming<=k pair set, including pairs whose
+    only agreeing pigeonhole chunk straddles the 64-bit word boundary
+    (chunk offsets are computed over 128 logical bits, so one chunk always
+    spans bit 64 at max_hamming=6)."""
+    import itertools
+
+    docs = make_docs(spark)
+    s64 = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures(docs, "doc_id", "text").collect()
+    }
+    s128 = {
+        r["doc_id"]: (r["simhash"], r["simhash_hi"])
+        for r in dedup.simhash_signatures(
+            docs, "doc_id", "text", bits=128
+        ).collect()
+    }
+    assert {k: v[0] for k, v in s128.items()} == s64
+
+    def ham(a, b):
+        return bin((a[0] ^ b[0]) & (2**64 - 1)).count("1") + bin(
+            (a[1] ^ b[1]) & (2**64 - 1)
+        ).count("1")
+
+    for mh in (6, 20):
+        brute = {
+            (i, j)
+            for i, j in itertools.combinations(sorted(s128), 2)
+            if ham(s128[i], s128[j]) <= mh
+        }
+        got = {
+            (r["id1"], r["id2"]): r["hamming"]
+            for r in dedup.simhash_near_dup_pairs(
+                docs, "doc_id", "text", max_hamming=mh, bits=128
+            ).collect()
+        }
+        assert set(got) == brute, f"mh={mh}"
+        for (i, j), h in got.items():
+            assert h == ham(s128[i], s128[j])
+
+
 def test_embedding_near_dups_planted(spark):
     v = [1.0, 0.0, 0.5, 0.2] * 16  # dim 64
     v_near = list(v)

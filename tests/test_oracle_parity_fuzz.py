@@ -160,6 +160,54 @@ def test_simhash_signatures_match_duckdb_on_random_strings(spark):
     assert mism.empty, f"signature drift on doc_ids {list(mism.index)[:5]}"
 
 
+def test_simhash_128_signatures_match_duckdb_on_random_strings(spark):
+    """Both words of the 128-bit signature (the c4 scale configuration)
+    must be bit-identical in DuckDB on hostile random text — the widened
+    oracle stands on all four md5 hash words, not just the first two."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators import dedup
+    from aws_snowflake_kinesis_airflow_pipeline_spark.plans.llm_suite import (
+        _SIMHASH_SUMS128,
+        _SIMHASH_WORDS128,
+        _simhash_sig_sql,
+    )
+
+    docs = _random_docs(200, seed=13)
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    got = (
+        dedup.simhash_signatures(
+            spark.createDataFrame(pdf), "doc_id", "text", bits=128
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = con.execute(
+        f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'),
+                                    x -> x <> '')) AS token
+          FROM docs
+        ),
+        words AS (SELECT doc_id, {_SIMHASH_WORDS128} FROM toks),
+        sums AS (SELECT doc_id, {_SIMHASH_SUMS128} FROM words
+                 GROUP BY doc_id)
+        SELECT doc_id,
+               CAST({_simhash_sig_sql(0)} AS BIGINT) AS simhash,
+               CAST({_simhash_sig_sql(64)} AS BIGINT) AS simhash_hi
+        FROM sums ORDER BY doc_id
+        """
+    ).df().set_index("doc_id").sort_index()
+
+    assert set(got.index) == set(want.index)
+    for col in ("simhash", "simhash_hi"):
+        mism = got[col][got[col] != want[col]]
+        assert mism.empty, f"{col} drift on doc_ids {list(mism.index)[:5]}"
+
+
 def test_lsh_pairs_match_exact_jaccard_on_random_corpus(spark):
     """MinHash-LSH pair set == brute-force exact-Jaccard pair set on a
     random corpus with planted near-duplicates (one word mutated in a
