@@ -15,6 +15,7 @@ Two paths, same contract (top-k neighbors of a query vector):
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -148,6 +149,99 @@ def _bucket_of(query_vec: list[float], n_bits: int, dim: int, seed: int) -> int:
     return int(bits @ weights)
 
 
+class IVFModel:
+    """Centroid set fit driver-side on a bounded sample. Exposes the two
+    methods the IVF query path uses, mirroring MLlib's ``KMeansModel``
+    surface so callers are unchanged."""
+
+    def __init__(self, centers: "np.ndarray"):
+        self._centers = np.ascontiguousarray(centers, dtype=np.float64)
+
+    def clusterCenters(self) -> list["np.ndarray"]:
+        return list(self._centers)
+
+
+def _kmeans_fit(
+    sample: "np.ndarray", k: int, seed: int, max_iter: int = 25
+) -> "np.ndarray":
+    """Plain Lloyd k-means with k-means++ seeding, all in numpy on the
+    driver-side sample. Deterministic for a fixed (sample, seed). An
+    empty cluster is reseeded to the point farthest from its assigned
+    centroid (the standard repair; keeps exactly k centers)."""
+    n = len(sample)
+    if n == 0:
+        raise ValueError("ivf_index: empty fit sample")
+    rng = np.random.RandomState(seed)
+    sq = (sample**2).sum(axis=1)
+
+    def dist2_to(centers: "np.ndarray") -> "np.ndarray":
+        # (n, k) squared distances via |x|^2 - 2 x.c + |c|^2
+        return np.maximum(
+            sq[:, None] - 2.0 * (sample @ centers.T) + (centers**2).sum(axis=1),
+            0.0,
+        )
+
+    # k-means++: each next center drawn proportional to D^2 (deterministic
+    # under the seeded RNG). With n < k the sample IS the centroid set,
+    # padded by repetition so len(clusterCenters()) == k.
+    first = int(rng.randint(n))
+    centers = [sample[first]]
+    d2 = dist2_to(np.asarray(centers))[:, 0]
+    for _ in range(1, min(k, n)):
+        total = d2.sum()
+        if total <= 0:
+            centers.append(sample[int(rng.randint(n))])
+        else:
+            centers.append(sample[int(rng.choice(n, p=d2 / total))])
+        d2 = np.minimum(d2, dist2_to(centers[-1][None, :])[:, 0])
+    while len(centers) < k:
+        centers.append(centers[len(centers) % max(1, min(k, n))])
+    centers = np.asarray(centers, dtype=np.float64)
+
+    for _ in range(max_iter):
+        d2 = dist2_to(centers)
+        assign = d2.argmin(axis=1)
+        own = d2[np.arange(n), assign]  # distance to assigned centroid
+        new = np.empty_like(centers)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+            else:
+                far = int(own.argmax())
+                new[c] = sample[far]
+                own[far] = 0.0  # two empty cells must not adopt one point
+        if np.allclose(new, centers):
+            break
+        centers = new
+    return centers
+
+
+def ivf_assign_udf(centers: "np.ndarray"):
+    """Arrow-batched nearest-centroid assignment: one (batch x k) distance
+    matmul per Arrow batch — the same reasoning as hyperplane_buckets_udf
+    (per-row distance loops in interpreted expressions would be ~k*dim
+    multiply-adds per row). NULL / wrong-length vectors get NULL."""
+    C = np.ascontiguousarray(centers, dtype=np.float64)
+    k, dim = C.shape
+    c_sq = (C**2).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def _assign(vs: pd.Series) -> pd.Series:
+        n = len(vs)
+        mat = np.zeros((n, dim), dtype=np.float64)
+        valid = np.zeros(n, dtype=bool)
+        for i, v in enumerate(vs):
+            if v is not None and len(v) == dim:
+                mat[i] = v
+                valid[i] = True
+        best = (-2.0 * (mat @ C.T) + c_sq).argmin(axis=1).astype(np.float64)
+        best[~valid] = np.nan
+        return pd.Series(best).astype("Int32")
+
+    return _assign
+
+
 def ivf_index(
     df: DataFrame,
     vec_col: str,
@@ -156,41 +250,48 @@ def ivf_index(
     max_fit_rows: int = 100_000,
     fit_fraction: float = 1.0,
 ):
-    """IVF (inverted-file) index: KMeans partitions the corpus into
+    """IVF (inverted-file) index: k-means partitions the corpus into
     ``n_clusters`` cells; a query probes only the cells whose centroids are
     nearest. Returns (model, indexed_df) where indexed_df carries an
     ``ivf_cluster`` column — at scale that column becomes the table's
     partition key so probes become partition pruning.
 
-    KMeans is fit on a bounded subset (centroids converge on a sample;
-    fitting the full corpus would make every KMeans iteration a full-data
-    pass at 100 TB). The subset is the ``max_fit_rows`` smallest rows by
-    ``xxhash64(vector)`` — a deterministic uniform pseudo-random draw,
-    taken WITHOUT a counting pre-pass (a ``count()`` here would be one
-    extra all-data job per index build) and WITHOUT storage-order bias (a
-    bare ``limit`` short-circuits on the first scanned files, and on-disk
-    order is typically correlated with cluster structure — per-source,
-    per-date — which would skew every centroid toward the prefix sources).
-    orderBy+limit compiles to per-partition top-k plus one k-row merge,
-    not a full sort. ``fit_fraction`` < 1 pre-thins the rows entering the
-    top-k heaps. Assignment is one pass over the full data.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    The centroids are fit on a bounded subset (centroids converge on a
+    sample; fitting the full corpus would make every k-means iteration a
+    full-data pass at 100 TB). The subset is the ``max_fit_rows`` smallest
+    rows by ``xxhash64(vector)`` — a deterministic uniform pseudo-random
+    draw, taken WITHOUT a counting pre-pass (a ``count()`` here would be
+    one extra all-data job per index build) and WITHOUT storage-order bias
+    (a bare ``limit`` short-circuits on the first scanned files, and
+    on-disk order is typically correlated with cluster structure —
+    per-source, per-date — which would skew every centroid toward the
+    prefix sources). orderBy+limit compiles to per-partition top-k plus
+    one k-row merge, not a full sort. ``fit_fraction`` < 1 pre-thins the
+    rows entering the top-k heaps.
 
-    with_vec = df.withColumn(
-        "_v", array_to_vector(F.col(vec_col).cast("array<double>"))
-    )
-    fit_df = with_vec
+    The Lloyd iterations run driver-side in numpy on the collected sample
+    (<= max_fit_rows * dim doubles — ~50 MB at the defaults), replacing a
+    distributed MLlib fit whose ~20 iteration jobs were pure scheduling
+    overhead at any scale where the sample already fits one machine.
+    Assignment back over the full corpus is one Arrow-batched pass.
+    """
+    fit_df = df.select(
+        F.col(vec_col).cast("array<double>").alias("_v")
+    ).where(F.col("_v").isNotNull())
     if fit_fraction < 1.0:
         fit_df = fit_df.sample(fraction=fit_fraction, seed=seed)
     fit_df = fit_df.orderBy(
-        F.xxhash64(F.col(vec_col), F.lit(seed))
+        F.xxhash64(F.col("_v"), F.lit(seed))
     ).limit(max_fit_rows)
-    model = KMeans(
-        k=n_clusters, seed=seed, featuresCol="_v", predictionCol="ivf_cluster"
-    ).fit(fit_df)
-    return model, model.transform(with_vec).drop("_v")
+    sample = np.asarray(
+        fit_df.toPandas()["_v"].tolist(), dtype=np.float64
+    )
+    centers = _kmeans_fit(sample, n_clusters, seed)
+    assign = ivf_assign_udf(centers)
+    indexed = df.withColumn(
+        "ivf_cluster", assign(F.col(vec_col).cast("array<double>"))
+    )
+    return IVFModel(centers), indexed
 
 
 def ivf_topk(
