@@ -504,11 +504,14 @@ _SIMHASH_BITS = 64
 _SIMHASH_WORD_HEX_START = (9, 1, 25, 17)
 
 
-def _simhash_word_col(word: int) -> Column:
-    """Logical hash-word ``word`` (bits [32w, 32w+32)) of md5(token)."""
+def _simhash_word_col(word: int, hex_col: str = "_md5") -> Column:
+    """Logical hash-word ``word`` (bits [32w, 32w+32)) of the md5 hex in
+    ``hex_col`` — hashed once per token in a prior projection, not once
+    per word (guaranteed, rather than left to codegen subexpression
+    elimination)."""
     start = _SIMHASH_WORD_HEX_START[word]
     return (
-        F.conv(F.substring(F.md5(F.col("token")), start, 8), 16, 10)
+        F.conv(F.substring(F.col(hex_col), start, 8), 16, 10)
         .cast("long")
         .alias(f"w{word}")
     )
@@ -517,13 +520,18 @@ def _simhash_word_col(word: int) -> Column:
 def _assemble_sig(sum_cols: list[str]) -> Column:
     """Signed-long signature from 64 per-bit sum columns: bit j set iff
     sum > 0; bit 63 is the sign bit of a signed long, so its contribution
-    is the two's-complement value."""
-    sig = F.lit(0).cast("long")
-    for j, s in enumerate(sum_cols[:-1]):
-        sig = sig + F.when(F.col(s) > 0, F.lit(1 << j)).otherwise(0)
-    return sig + F.when(
-        F.col(sum_cols[-1]) > 0, F.lit(-(1 << 63))
-    ).otherwise(0)
+    is the two's-complement value.
+
+    Built as ONE parsed SQL expression, not a 64-deep Column chain: every
+    Column operator is a py4j round trip, and the per-bit chains here plus
+    the per-bit sums below added ~3 s of driver-side plan construction per
+    query call (measured at sf0.01, where execution itself is <1 s)."""
+    terms = " + ".join(
+        f"CASE WHEN {s} > 0 THEN CAST({-(1 << 63) if j == 63 else (1 << j)}"
+        f" AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j, s in enumerate(sum_cols)
+    )
+    return F.expr(f"CAST({terms} AS BIGINT)")
 
 
 def simhash_signatures(
@@ -553,17 +561,19 @@ def simhash_signatures(
     if bits not in (64, 128):
         raise ValueError(f"bits must be 64 or 128, got {bits}")
     n_words = bits // 32
-    tok = _spread(df.select(id_col, text_col), id_col).select(
-        id_col, F.explode(tokens(text_col)).alias("token")
-    ).select(id_col, *[_simhash_word_col(w) for w in range(n_words)])
+    tok = (
+        _spread(df.select(id_col, text_col), id_col)
+        .select(id_col, F.explode(tokens(text_col)).alias("token"))
+        .select(id_col, F.md5(F.col("token")).alias("_md5"))
+        .select(id_col, *[_simhash_word_col(w) for w in range(n_words)])
+    )
+    # One parsed SQL expression per bit (see _assemble_sig: Column-chain
+    # construction cost is py4j round trips, not execution).
     bit_sums = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col(f"w{j // 32}"), j % 32)
-                .bitwiseAND(F.lit(1)) == 1,
-                1,
-            ).otherwise(-1)
-        ).alias(f"s{j}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(w{j // 32}, {j % 32}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) AS s{j}"
+        )
         for j in range(bits)
     ]
     sums = tok.groupBy(id_col).agg(*bit_sums)
