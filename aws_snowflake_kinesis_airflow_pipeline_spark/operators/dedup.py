@@ -159,6 +159,12 @@ def ngram_jaccard_pairs(
     dedup signal). Sizes still count every shingle, so capping only lowers
     estimated Jaccard for pairs whose sole overlap is boilerplate — by
     design. Default None preserves exact semantics (and oracle parity).
+
+    With the cap engaged (and no ``candidates``) the intersection switches
+    from the exploded-index equality self-join to grouped pair emission:
+    groupBy(shingle) -> sorted posting list (bounded by the cap) -> pairs
+    emitted row-locally -> count per pair. One index-sized exchange
+    instead of three; identical pair set.
     """
     array_path = (
         candidates is not None
@@ -183,6 +189,51 @@ def ngram_jaccard_pairs(
             sh = per_doc.select(id_col, F.explode("hs").alias("shingle"))
             if sizes is None:
                 sizes = per_doc.select(id_col, F.size("hs").alias("n_sh"))
+        if max_doc_freq is not None and candidates is None:
+            # Grouped pair emission: ONE shuffle of the index (groupBy
+            # shingle -> sorted posting list), then pairs emitted
+            # row-locally and re-aggregated. The join formulation below
+            # costs three corpus-index-sized exchanges for the same
+            # result (df-count for the hot cap, anti-join, equality
+            # self-join); here the cap is a free filter on the posting
+            # list's size, and it is also the safety bound that makes
+            # collect_list safe — each group holds at most
+            # ``max_doc_freq`` ids, so a posting row is <= ~8B x cap and
+            # a group emits <= cap^2/2 pairs. (Without a cap a single
+            # boilerplate shingle could blow a row, which is why the
+            # uncapped exact path keeps the join form.)
+            postings = (
+                sh.groupBy("shingle")
+                .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+                .filter(
+                    (F.size("ids") >= 2) & (F.size("ids") <= max_doc_freq)
+                )
+            )
+            inter = (
+                postings.select(
+                    F.explode(
+                        F.flatten(
+                            F.transform(
+                                "ids",
+                                lambda x, i: F.transform(
+                                    F.slice(
+                                        F.col("ids"),
+                                        i + F.lit(2),
+                                        F.size("ids"),
+                                    ),
+                                    lambda y: F.struct(
+                                        x.alias("id1"), y.alias("id2")
+                                    ),
+                                ),
+                            )
+                        )
+                    ).alias("p")
+                )
+                .select("p.id1", "p.id2")
+                .groupBy("id1", "id2")
+                .agg(F.count("*").alias("n_inter"))
+            )
+            return _jaccard_from_inter(inter, sizes, id_col, threshold)
         if max_doc_freq is not None:
             hot = (
                 sh.groupBy("shingle")
@@ -258,6 +309,14 @@ def ngram_jaccard_pairs(
             .groupBy("id1", "id2")
             .agg(F.count("*").alias("n_inter"))
         )
+    return _jaccard_from_inter(inter, sizes, id_col, threshold)
+
+
+def _jaccard_from_inter(
+    inter: DataFrame, sizes: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Finalize (id1, id2, n_inter) + per-doc set sizes into thresholded
+    Jaccard pairs: |A ∪ B| = |A| + |B| - |A ∩ B|."""
     s1 = sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))
     return (
