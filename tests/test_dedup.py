@@ -114,6 +114,59 @@ def test_hot_shingle_cap_bounds_pair_blowup(spark):
     assert guarded == 0  # hot shingle dropped from pairing
 
 
+def test_capped_grouped_emission_matches_join_form(spark):
+    """The capped path (grouped posting-list pair emission) must produce the
+    exact pair set of the uncapped join form restricted to the same cap —
+    including the boundary: a shingle in exactly ``cap`` docs still pairs,
+    ``cap + 1`` does not. Randomized word soup with planted overlap tiers
+    straddling the cap."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{j}" for j in range(40)]
+    rows = []
+    # Tier A: 3 docs sharing a 3-gram (df=3 == cap) -> pairs survive.
+    for i in range(3):
+        rows.append((i, "alpha beta gamma " + " ".join(rng.choices(vocab, k=8))))
+    # Tier B: 4 docs sharing a 3-gram (df=4 > cap) -> dropped from pairing.
+    for i in range(3, 7):
+        rows.append((i, "delta epsilon zeta " + " ".join(rng.choices(vocab, k=8))))
+    # Noise docs.
+    for i in range(7, 20):
+        rows.append((i, " ".join(rng.choices(vocab, k=12))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = 3
+
+    capped = {
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.0, max_doc_freq=cap
+        ).collect()
+    }
+    # Reference: join form with the cap applied via its own (pre-refactor)
+    # anti-join semantics — reconstructed from the uncapped index.
+    idx = dedup.shingle_index(docs, "doc_id", "text")
+    hot = (
+        idx.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > cap)
+        .select("shingle")
+    )
+    cool = idx.join(hot, "shingle", "left_anti")
+    sizes = dedup.doc_shingles(docs, "doc_id", "text").select(
+        "doc_id", F.size("hs").alias("n_sh")
+    )
+    expected = {
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.0, index=cool, sizes=sizes
+        ).collect()
+    }
+    assert capped == expected
+    ids_a = {p[:2] for p in capped if p[0] < 3 and p[1] < 3}
+    assert len(ids_a) == 3  # df==cap boundary kept: C(3,2) tier-A pairs
+
+
 def test_extended_staging_schema_missing_fields_null(spark, tmp_path):
     from aws_snowflake_kinesis_airflow_pipeline_spark.sources import (
         json_landing,
