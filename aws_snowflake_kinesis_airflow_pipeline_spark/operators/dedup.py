@@ -464,6 +464,35 @@ def minhash_signatures(
     ).filter(F.col("mins").isNotNull())
 
 
+def band_buckets(
+    sig: DataFrame, id_col: str, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """Banded LSH buckets (id, band_id, band_hash) from MinHash signatures:
+    ``bands`` buckets per document, each hashing ``num_hashes/bands``
+    consecutive signature positions. The bucketing function must be
+    IDENTICAL everywhere buckets are compared — the batch self-join
+    (:func:`minhash_lsh_pairs`) and the persisted-index probe
+    (operators/incremental.py) both derive from this one definition, so an
+    index written yesterday collides correctly with a batch bucketed
+    today."""
+    rows = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(
+                *[
+                    F.element_at("mins", b * rows + r + 1)
+                    for r in range(rows)
+                ]
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        id_col, F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -488,7 +517,6 @@ def minhash_lsh_pairs(
     sets via semi-join and intersects arrays row-locally; see
     ngram_jaccard_pairs' ``per_doc_sets``).
     """
-    rows = num_hashes // bands
     # NOT checkpointed: the shingle arrays stream straight into the
     # signature kernel and are consumed exactly once — materializing the
     # full corpus's sets (~8 B x shingles x docs) bought nothing once
@@ -498,28 +526,12 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(
         df, id_col, text_col, num_hashes, k, per_doc=per_doc
     )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.xxhash64(
-                *[
-                    F.element_at("mins", b * rows + r + 1)
-                    for r in range(rows)
-                ]
-            ).alias("band_hash"),
-        )
-        for b in range(bands)
-    ]
     # localCheckpoint the narrow (id, band_id, band_hash) triple: the
     # candidate self-join reads it on BOTH sides, and without
     # materialization each side re-runs the whole signature kernel (the
     # operator's dominant compute — measured 2x the kernel at sf10). Same
     # discipline as embedding_near_dup_pairs' bucket triple.
-    buckets = (
-        sig.select(id_col, F.explode(F.array(*band_structs)).alias("band"))
-        .select(id_col, "band.band_id", "band.band_hash")
-        .localCheckpoint()
-    )
+    buckets = band_buckets(sig, id_col, num_hashes, bands).localCheckpoint()
 
     left = buckets.select(
         F.col(id_col).alias("id1"), "band_id", "band_hash"

@@ -1,0 +1,205 @@
+"""Incremental near-dup dedup against a persisted MinHash index.
+
+The contract under test: probing a persisted index with a new batch finds
+EXACTLY the pairs the batch LSH operator finds on the union corpus
+(restricted to pairs touching the batch), the greedy insert policy is
+deterministic and idempotent, and the probe plan never shuffles the
+corpus-side bucket store.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_snowflake_kinesis_airflow_pipeline_spark.catalog import load_table
+from aws_snowflake_kinesis_airflow_pipeline_spark.operators import incremental
+from aws_snowflake_kinesis_airflow_pipeline_spark.operators.dedup import (
+    minhash_lsh_pairs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus_and_batch(spark):
+    """documents split ~2:1 into an indexed corpus and a new batch.
+
+    The modulus split interleaves ids, so the fixture's planted near-dup
+    groups straddle the boundary — both corpus-vs-batch and batch-internal
+    pairs exist (asserted in the equivalence test, so a fixture change
+    that vacuates either side fails loudly)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    return docs, corpus, batch
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, corpus_and_batch, tmp_path_factory):
+    _, corpus, _ = corpus_and_batch
+    path = str(tmp_path_factory.mktemp("mh_index") / "idx")
+    incremental.write_minhash_index(corpus, "doc_id", "text", path)
+    return path
+
+
+def _pair_set(df):
+    return {(r["id1"], r["id2"], r["jaccard"]) for r in df.collect()}
+
+
+def test_incremental_pairs_match_batch_operator_on_union(
+    spark, corpus_and_batch, index_path
+):
+    """Index probe ≡ batch LSH on the union, restricted to pairs touching
+    the batch: same signature family, same banding, same verification, so
+    the pair sets (and jaccard values) must be identical."""
+    docs, corpus, batch = corpus_and_batch
+    got = incremental.incremental_near_dup_pairs(
+        spark, batch, "doc_id", "text", index_path
+    )
+
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    union_pairs = minhash_lsh_pairs(docs, "doc_id", "text")
+    want = {
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in union_pairs.collect()
+        if r["id1"] in batch_ids or r["id2"] in batch_ids
+    }
+    assert _pair_set(got) == want
+
+    # Non-vacuous on BOTH probe sides.
+    by_vs = {r["vs"] for r in got.select("vs").distinct().collect()}
+    assert by_vs == {"corpus", "batch"}
+
+    # The 'vs' tag is truthful: corpus pairs touch exactly one batch id.
+    for r in got.collect():
+        n_batch = (r["id1"] in batch_ids) + (r["id2"] in batch_ids)
+        assert n_batch == (1 if r["vs"] == "corpus" else 2)
+
+
+def test_insert_policy_greedy_and_deterministic(
+    spark, corpus_and_batch, index_path
+):
+    """Survivors = batch minus corpus-dups, minus non-minimum members of
+    batch-internal clusters — recomputed independently from the pair list
+    in plain Python."""
+    _, _, batch = corpus_and_batch
+    pairs = incremental.incremental_near_dup_pairs(
+        spark, batch, "doc_id", "text", index_path
+    ).collect()
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+
+    corpus_dropped = set()
+    for r in pairs:
+        if r["vs"] == "corpus":
+            corpus_dropped |= {r["id1"], r["id2"]} & batch_ids
+
+    # Union-find over batch pairs among the corpus-survivors.
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        if r["vs"] == "batch" and not (
+            {r["id1"], r["id2"]} & corpus_dropped
+        ):
+            ra, rb = find(r["id1"]), find(r["id2"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    cluster_dropped = {x for x in parent if find(x) != x}
+    want = batch_ids - corpus_dropped - cluster_dropped
+
+    got = incremental.incremental_dedup_insert(
+        spark, batch, "doc_id", "text", index_path
+    )
+    assert {r["doc_id"] for r in got.select("doc_id").collect()} == want
+    assert corpus_dropped and cluster_dropped  # policy non-vacuous
+
+
+def test_reingest_is_idempotent(spark, corpus_and_batch, tmp_path):
+    """Appending survivors then re-running the same batch drops every doc:
+    survivors self-match at jaccard 1.0 via the index, non-survivors still
+    match whatever dropped them — the reference's idempotent re-ingest
+    contract (NOT IN insert) at near-dup granularity."""
+    _, corpus, batch = corpus_and_batch
+    path = str(tmp_path / "idx")
+    incremental.write_minhash_index(corpus, "doc_id", "text", path)
+    survivors = incremental.incremental_dedup_insert(
+        spark, batch, "doc_id", "text", path
+    )
+    incremental.append_to_index(survivors, "doc_id", "text", path)
+
+    rerun = incremental.incremental_dedup_insert(
+        spark, batch, "doc_id", "text", path
+    )
+    assert rerun.isEmpty()
+
+
+def test_append_equals_bulk_index(spark, corpus_and_batch, tmp_path):
+    """index(corpus) + append(batch) stores exactly the rows of
+    index(corpus ∪ batch) — increments don't drift from a rebuild."""
+    docs, corpus, batch = corpus_and_batch
+    inc_path, bulk_path = str(tmp_path / "inc"), str(tmp_path / "bulk")
+    incremental.write_minhash_index(corpus, "doc_id", "text", inc_path)
+    incremental.append_to_index(batch, "doc_id", "text", inc_path)
+    incremental.write_minhash_index(docs, "doc_id", "text", bulk_path)
+
+    for sub in ("buckets", "sets"):
+        a = spark.read.parquet(f"{inc_path}/{sub}")
+        b = spark.read.parquet(f"{bulk_path}/{sub}")
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_probe_plan_broadcasts_batch_and_prunes_sets(
+    spark, corpus_and_batch, index_path
+):
+    """The scale invariants, asserted on the executed plan: (1) the
+    corpus-bucket probe is a broadcast join with the BATCH side built —
+    the corpus bucket store is scanned, never exchanged; (2) the set-store
+    fetch carries a partition filter on set_bucket, so verification reads
+    only candidate directories."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.dedup import (
+        band_buckets,
+        doc_shingles,
+        minhash_signatures,
+    )
+
+    _, _, batch = corpus_and_batch
+
+    # (1) Probe shape, on the un-checkpointed candidate join (the
+    # operator checkpoints it, which hides the join from later plans).
+    per_doc = doc_shingles(batch, "doc_id", "text")
+    sig = minhash_signatures(batch, "doc_id", "text", per_doc=per_doc)
+    new_buckets = band_buckets(sig, "doc_id")
+    cand = incremental._cross_candidates(
+        spark, new_buckets, index_path, "doc_id", broadcast_batch=True
+    )
+    cand.write.format("noop").mode("overwrite").save()
+    cand_plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [band_id" in cand_plan
+    # The corpus store reaches the probe join without ever being hash
+    # exchanged on the band keys (the post-join distinct exchange is
+    # candidate-volume and allowed).
+    assert "Exchange hashpartitioning(band_id" not in cand_plan
+
+    # (2) Verification fetch pruning: the full operator's sets scan
+    # carries a partition filter (isin over the collected candidate
+    # buckets) — candidate directories are read, not the whole store.
+    pairs = incremental.incremental_near_dup_pairs(
+        spark, batch, "doc_id", "text", index_path
+    )
+    pairs.write.format("noop").mode("overwrite").save()
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    part_filter_lines = [
+        line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line and "set_bucket" in line
+    ]
+    assert any(
+        "INSET" in line or "IN (" in line for line in part_filter_lines
+    )
