@@ -1,0 +1,180 @@
+"""Streaming near-dup document ingest: foreachBatch + the persisted
+MinHash index.
+
+Composes the two halves the engine already has into the production
+pattern an LLM-data pipeline runs continuously:
+
+- :mod:`..operators.incremental` answers "which of these new docs
+  near-duplicate anything kept?" against a persisted index without
+  touching the corpus (probe broadcast + partition-pruned set fetch);
+- Structured Streaming's ``foreachBatch`` delivers bounded micro-batches
+  with replay (at-least-once) semantics, exactly the increment shape the
+  index expects.
+
+Per micro-batch: dedup the batch internally and against the index, then
+publish survivors to the corpus table and register them in the index.
+Both writes are guarded by a NOT-IN id anti-join (the reference's insert
+discipline, airflow/dags/snowflake_data_pipeline.py:128-146), which makes
+a replayed batch a no-op regardless of where the previous attempt died:
+
+- died before the corpus write        -> replay redoes everything
+- died between corpus write and index -> replay's survivors are already
+  in the corpus (id guard skips them) but not yet indexed (index guard
+  admits them) — each sink converges independently
+- died after both                     -> survivors self-match in the
+  index at Jaccard 1.0 and are dropped by the probe itself
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import near_dup_dedup
+from ..operators.incremental import (
+    append_to_index,
+    incremental_dedup_insert,
+    write_minhash_index,
+)
+
+
+class NearDupIngest:
+    """Continuous near-dup-deduped document ingest.
+
+    ``corpus_path`` — published parquet of kept documents (the training
+    corpus). ``index_path`` — the MinHash bucket/set store. Both are
+    created on the first batch if absent.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus_path: str,
+        index_path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        threshold: float = 0.8,
+        num_hashes: int = 64,
+        bands: int = 16,
+        k: int = 3,
+    ) -> None:
+        self.spark = spark
+        self.corpus_path = corpus_path
+        self.index_path = index_path
+        self.id_col = id_col
+        self.text_col = text_col
+        self.threshold = threshold
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.k = k
+        self.batches = 0
+        self.admitted = 0
+
+    def _existing_ids(self, path: str) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(path).select(self.id_col)
+        except Exception as exc:
+            msg = str(exc)
+            if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+                return None
+            raise
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # One row per id per batch: file-source replays can deliver a doc
+        # twice inside one micro-batch; the index probe only guards
+        # against docs already PERSISTED.
+        batch_df = batch_df.dropDuplicates([self.id_col]).localCheckpoint()
+        self.batches += 1
+
+        bootstrapping = not os.path.isdir(f"{self.index_path}/buckets")
+        if bootstrapping:
+            # No store yet: the first batch is its own corpus — the batch
+            # operator applies the identical min-id cluster policy, and
+            # its survivors seed the index below.
+            survivors = near_dup_dedup(
+                batch_df,
+                self.id_col,
+                self.text_col,
+                self.threshold,
+                num_hashes=self.num_hashes,
+                bands=self.bands,
+                k=self.k,
+            ).localCheckpoint()
+        else:
+            survivors = incremental_dedup_insert(
+                self.spark,
+                batch_df,
+                self.id_col,
+                self.text_col,
+                self.index_path,
+                self.num_hashes,
+                self.bands,
+                self.k,
+                self.threshold,
+            ).localCheckpoint()  # read by both guarded sinks below
+
+        # Guarded publish: NOT-IN on id makes each sink idempotent under
+        # foreachBatch replay (see module docstring for the crash matrix).
+        corpus_ids = self._existing_ids(self.corpus_path)
+        to_corpus = (
+            survivors
+            if corpus_ids is None
+            else survivors.join(corpus_ids, self.id_col, "left_anti")
+        )
+        to_corpus.write.mode("append").parquet(self.corpus_path)
+
+        if bootstrapping:
+            if survivors.isEmpty():
+                # Nothing to seed with (e.g. an empty first micro-batch);
+                # the next non-empty batch bootstraps instead. Writing an
+                # empty partitioned store would leave a schema-less dir.
+                return
+            write_minhash_index(
+                survivors,
+                self.id_col,
+                self.text_col,
+                self.index_path,
+                self.num_hashes,
+                self.bands,
+                self.k,
+            )
+            self.admitted += survivors.count()
+            return
+
+        indexed_ids = self._existing_ids(f"{self.index_path}/sets")
+        to_index = (
+            survivors
+            if indexed_ids is None
+            else survivors.join(indexed_ids, self.id_col, "left_anti")
+        )
+        # Cheap short-circuit: replays usually have nothing to add, and
+        # append_to_index would still run the full signature pass.
+        if not to_index.isEmpty():
+            append_to_index(
+                to_index,
+                self.id_col,
+                self.text_col,
+                self.index_path,
+                self.num_hashes,
+                self.bands,
+                self.k,
+            )
+            self.admitted += to_index.count()
+
+    def start(
+        self,
+        source: DataFrame,
+        checkpoint: str,
+        available_now: bool = True,
+    ):
+        """Attach to a streaming ``source`` of documents and run."""
+        writer = (
+            source.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

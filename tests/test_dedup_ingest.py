@@ -1,0 +1,135 @@
+"""Streaming near-dup ingest: foreachBatch micro-batches against the
+persisted MinHash index (streaming/dedup_ingest.py).
+
+Contracts: the streamed corpus equals the one produced by calling the
+incremental batch API sequentially with the same waves (stream ≡ batch),
+the published corpus is pairwise near-dup-free, and replaying the whole
+input (new checkpoint, same data) admits nothing new.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_snowflake_kinesis_airflow_pipeline_spark.catalog import load_table
+from aws_snowflake_kinesis_airflow_pipeline_spark.operators import incremental
+from aws_snowflake_kinesis_airflow_pipeline_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    near_dup_dedup,
+)
+from aws_snowflake_kinesis_airflow_pipeline_spark.streaming.dedup_ingest import (
+    NearDupIngest,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _waves(spark, n=3):
+    """documents split into n arrival waves by id modulus (interleaves the
+    fixture's planted near-dup groups across waves, so cross-wave drops
+    and within-wave clusters both occur)."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    return docs, [
+        docs.filter(F.col("doc_id") % n == i).localCheckpoint()
+        for i in range(n)
+    ]
+
+
+def _run_stream(spark, tmp_path, tag, waves_dir):
+    corpus = str(tmp_path / f"corpus_{tag}")
+    index = str(tmp_path / f"index_{tag}")
+    ckpt = str(tmp_path / f"ckpt_{tag}")
+    ingest = NearDupIngest(spark, corpus, index)
+    source = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(waves_dir)
+    )
+    q = ingest.start(source, ckpt)
+    q.awaitTermination()
+    return ingest, corpus, index
+
+
+@pytest.fixture(scope="module")
+def streamed(spark, tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("ndi")
+    docs, waves = _waves(spark)
+    waves_dir = str(tmp_path / "waves")
+    os.makedirs(waves_dir)
+    for i, w in enumerate(waves):
+        # One file per wave, renamed + mtime-staggered so the file source
+        # (which orders by timestamp, tie-breaking on random part names)
+        # delivers micro-batches in wave order — the order the sequential
+        # reference below uses.
+        staging = str(tmp_path / f"stage_{i}")
+        w.coalesce(1).write.parquet(staging)
+        part = next(
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        )
+        dest = os.path.join(waves_dir, f"wave-{i}.parquet")
+        os.rename(os.path.join(staging, part), dest)
+        os.utime(dest, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    ingest, corpus, index = _run_stream(spark, tmp_path, "main", waves_dir)
+    return docs, waves, ingest, corpus, index, tmp_path, waves_dir
+
+
+def test_stream_equals_sequential_batch_api(spark, streamed):
+    """Driving the waves through foreachBatch must keep exactly the ids
+    the incremental batch API keeps when called wave by wave."""
+    docs, waves, ingest, corpus, index, tmp_path, _ = streamed
+    assert ingest.batches >= 3  # genuinely micro-batched
+
+    ref_index = str(tmp_path / "ref_index")
+    want: set[int] = set()
+    first = near_dup_dedup(waves[0], "doc_id", "text")
+    incremental.write_minhash_index(first, "doc_id", "text", ref_index)
+    want |= {r["doc_id"] for r in first.select("doc_id").collect()}
+    for wave in waves[1:]:
+        s = incremental.incremental_dedup_insert(
+            spark, wave, "doc_id", "text", ref_index
+        ).localCheckpoint()
+        incremental.append_to_index(s, "doc_id", "text", ref_index)
+        want |= {r["doc_id"] for r in s.select("doc_id").collect()}
+
+    got = {
+        r["doc_id"] for r in spark.read.parquet(corpus).select("doc_id").collect()
+    }
+    assert got == want
+    assert ingest.admitted == len(want)
+    # the dedup was non-vacuous: something was dropped across the stream
+    assert len(want) < docs.count()
+
+
+def test_streamed_corpus_is_near_dup_free(spark, streamed):
+    """No two published docs near-duplicate each other — the invariant the
+    corpus table promises its training-data consumers."""
+    _, _, _, corpus, _, _, _ = streamed
+    published = spark.read.parquet(corpus)
+    assert minhash_lsh_pairs(published, "doc_id", "text").isEmpty()
+    # and ids are unique (no double-append through replays/guards)
+    n = published.count()
+    assert published.select("doc_id").distinct().count() == n
+
+
+def test_full_replay_admits_nothing(spark, streamed):
+    """Re-streaming the identical input against the EXISTING index/corpus
+    (fresh checkpoint, so every wave is redelivered) publishes nothing:
+    survivors self-match in the index at Jaccard 1.0, dropped docs still
+    match whatever dropped them or are guarded by the NOT-IN id check."""
+    _, _, _, corpus, index, tmp_path, waves_dir = streamed
+    before = spark.read.parquet(corpus).count()
+
+    replay = NearDupIngest(spark, corpus, index)
+    source = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(waves_dir)
+    )
+    q = replay.start(source, str(tmp_path / "ckpt_replay"))
+    q.awaitTermination()
+
+    assert replay.admitted == 0
+    assert spark.read.parquet(corpus).count() == before
