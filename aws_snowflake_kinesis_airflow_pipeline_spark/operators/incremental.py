@@ -46,9 +46,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import (
+    _hyperplanes,
     band_buckets,
     connected_components,
+    cosine_pairs_udf,
     doc_shingles,
+    hyperplane_buckets_udf,
     minhash_signatures,
     ngram_jaccard_pairs,
 )
@@ -310,7 +313,18 @@ def incremental_dedup_insert(
         k,
         threshold,
         broadcast_batch,
-    ).localCheckpoint()  # read by both the corpus-drop and the clustering
+    )
+    return _greedy_insert(new_df, pairs, id_col)
+
+
+def _greedy_insert(
+    new_df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Apply the greedy incremental policy to a tagged pair list (the
+    module-docstring semantics, shared by the text and embedding paths):
+    drop batch docs with any ``vs='corpus'`` pair, cluster the remaining
+    ``vs='batch'`` pairs, keep each cluster's minimum id."""
+    pairs = pairs.localCheckpoint()  # read by both corpus-drop and clustering
 
     new_ids = new_df.select(id_col)
     corpus_dupped = (
@@ -341,3 +355,237 @@ def incremental_dedup_insert(
         keepers.select(F.col(id_col).alias("id")), "id", "left_anti"
     ).select(F.col("id").alias(id_col))
     return remaining.join(drop, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# Embedding (cosine) incremental dedup — the same store/probe/verify shape
+# over hyperplane-LSH buckets instead of MinHash bands.
+# --------------------------------------------------------------------------
+
+
+def _embedding_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_bits: int,
+    n_tables: int,
+    dim: int,
+    seed: int,
+) -> DataFrame:
+    """(id, table_id, bucket) under the index's fixed hyperplanes — the
+    one bucketing definition both the store writer and every probe use
+    (parameters travel in the index's meta file, so yesterday's store and
+    today's batch can never disagree on resolution or seed)."""
+    bucket_fn = hyperplane_buckets_udf(
+        [_hyperplanes(dim, n_bits, seed + t * 1000) for t in range(n_tables)]
+    )
+    return df.select(
+        id_col,
+        F.posexplode(bucket_fn(F.col(vec_col).cast("array<double>"))).alias(
+            "table_id", "bucket"
+        ),
+    )
+
+
+def write_embedding_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an embedding corpus for incremental cosine near-dup checks:
+
+    - ``{path}/buckets`` — (id, table_id, bucket): n_tables narrow rows
+      per vector, the probe surface.
+    - ``{path}/vectors`` — (id, vec): hive-partitioned by the same
+      id-hash bucket as the text set store, so candidate verification
+      reads only candidate directories (vectors are the heavy column).
+    - ``{path}/meta`` — one JSON row pinning (n_bits, n_tables, dim,
+      seed): probes MUST bucket with the index's own parameters, and a
+      store can't answer for parameters it wasn't built with.
+
+    ``n_bits`` is fixed at build time (the batch operator's auto-sizing
+    is a per-call decision; a persistent store needs one resolution).
+    Choose it for the CORPUS's target occupancy — rebuilding the store is
+    the resize path, same as any LSH index.
+    """
+    spark = df.sparkSession
+    (
+        _embedding_buckets(df, id_col, vec_col, n_bits, n_tables, dim, seed)
+        .sortWithinPartitions("table_id", "bucket")
+        .write.mode(mode)
+        .parquet(f"{path}/buckets")
+    )
+    (
+        df.select(
+            id_col,
+            F.col(vec_col).cast("array<double>").alias("vec"),
+            _set_bucket(id_col),
+        )
+        .repartition("set_bucket")
+        .write.mode(mode)
+        .partitionBy("set_bucket")
+        .parquet(f"{path}/vectors")
+    )
+    if mode == "overwrite":
+        spark.createDataFrame(
+            [(n_bits, n_tables, dim, seed)],
+            "n_bits int, n_tables int, dim int, seed int",
+        ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+
+
+def append_to_embedding_index(
+    df: DataFrame, id_col: str, vec_col: str, path: str
+) -> None:
+    """Add vectors to an existing embedding index under ITS parameters
+    (read from the meta file — the caller cannot drift the bucketing)."""
+    meta = _read_embedding_meta(df.sparkSession, path)
+    write_embedding_index(
+        df,
+        id_col,
+        vec_col,
+        path,
+        meta["n_bits"],
+        meta["n_tables"],
+        meta["dim"],
+        meta["seed"],
+        mode="append",
+    )
+
+
+def _read_embedding_meta(spark: SparkSession, path: str) -> dict:
+    row = spark.read.json(f"{path}/meta").first()
+    return {
+        "n_bits": int(row["n_bits"]),
+        "n_tables": int(row["n_tables"]),
+        "dim": int(row["dim"]),
+        "seed": int(row["seed"]),
+    }
+
+
+def incremental_embedding_near_dups(
+    spark: SparkSession,
+    new_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+    threshold: float = 0.9,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Cosine near-dup pairs between a new vector batch and (persisted
+    corpus ∪ itself) — (id1, id2, cosine, vs) with id1 < id2, ``vs`` as in
+    :func:`incremental_near_dup_pairs`. Same shuffle discipline: the
+    batch's buckets broadcast into the store probe (corpus scanned, never
+    shuffled), verification is candidate-volume with the store's vector
+    fetch partition-pruned by id-hash bucket, and exact cosine makes
+    precision exact (LSH only bounds recall)."""
+    meta = _read_embedding_meta(spark, index_path)
+    new_vecs = new_df.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("vec")
+    ).localCheckpoint()
+    new_buckets = _embedding_buckets(
+        new_vecs,
+        id_col,
+        "vec",
+        meta["n_bits"],
+        meta["n_tables"],
+        meta["dim"],
+        meta["seed"],
+    ).localCheckpoint()
+
+    # Batch vs corpus: probe the store, batch side broadcast.
+    corpus_buckets = spark.read.parquet(f"{index_path}/buckets")
+    probe_side = new_buckets.select(
+        F.col(id_col).alias("new_id"), "table_id", "bucket"
+    )
+    if broadcast_batch:
+        probe_side = F.broadcast(probe_side)
+    cross_cand = (
+        corpus_buckets.select(
+            F.col(id_col).alias("old_id"), "table_id", "bucket"
+        )
+        .join(probe_side, ["table_id", "bucket"])
+        .select("new_id", "old_id")
+        .distinct()
+        .localCheckpoint()
+    )
+
+    # Batch vs batch: in-batch self-join on the SAME buckets.
+    left = new_buckets.select(F.col(id_col).alias("id1"), "table_id", "bucket")
+    right = new_buckets.select(F.col(id_col).alias("id2"), "table_id", "bucket")
+    batch_cand = (
+        left.join(right, ["table_id", "bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+    # Verification: exact cosine at candidate volume. Old vectors come
+    # from the store with directory pruning (same discipline as the text
+    # set fetch); batch vectors are the checkpointed batch projection.
+    cand_old_ids = cross_cand.select(F.col("old_id").alias(id_col)).distinct()
+    hit_buckets = [
+        r["set_bucket"]
+        for r in cand_old_ids.select(_set_bucket(id_col)).distinct().collect()
+    ]
+    old_vecs = (
+        spark.read.parquet(f"{index_path}/vectors")
+        .filter(F.col("set_bucket").isin(hit_buckets or [-1]))
+        .join(cand_old_ids, id_col, "left_semi")
+        .select(id_col, "vec")
+    )
+    cos = cosine_pairs_udf()
+
+    def _verify(cand, ids, side_a, sets_a, side_b, sets_b):
+        va = sets_a.select(
+            F.col(id_col).alias(side_a), F.col("vec").alias("v1")
+        )
+        vb = sets_b.select(
+            F.col(id_col).alias(side_b), F.col("vec").alias("v2")
+        )
+        return (
+            cand.join(va, side_a)
+            .join(vb, side_b)
+            # Round AFTER the exact kernel, matching the in-bucket batch
+            # operator's np.round(..., 4) so the two paths agree on
+            # threshold boundaries.
+            .withColumn("cosine", F.round(cos("v1", "v2"), 4))
+            .filter(F.col("cosine") >= threshold)
+            .select(
+                F.least(side_a, side_b).alias("id1"),
+                F.greatest(side_a, side_b).alias("id2"),
+                "cosine",
+                F.lit(ids).alias("vs"),
+            )
+        )
+
+    cross_pairs = _verify(
+        cross_cand, "corpus", "new_id", new_vecs, "old_id", old_vecs
+    )
+    batch_pairs = _verify(
+        batch_cand, "batch", "id1", new_vecs, "id2", new_vecs
+    )
+    return cross_pairs.unionByName(batch_pairs)
+
+
+def incremental_embedding_insert(
+    spark: SparkSession,
+    new_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+    threshold: float = 0.9,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Greedy-insert survivors of a vector batch (policy of
+    :func:`incremental_dedup_insert`, pair source =
+    :func:`incremental_embedding_near_dups`)."""
+    pairs = incremental_embedding_near_dups(
+        spark, new_df, id_col, vec_col, index_path, threshold, broadcast_batch
+    )
+    return _greedy_insert(new_df, pairs, id_col)

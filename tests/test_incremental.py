@@ -203,3 +203,105 @@ def test_probe_plan_broadcasts_batch_and_prunes_sets(
     assert any(
         "INSET" in line or "IN (" in line for line in part_filter_lines
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-side incremental index
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb_corpus_and_batch(spark):
+    """Corpus/batch split with PLANTED duplicates: the fixture's vectors
+    are near-orthogonal (c5's docstring — zero unplanted pairs at 0.9),
+    so cross pairs are exact copies of corpus vectors under fresh batch
+    ids, and batch-internal pairs are twin copies of batch vectors."""
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 3 != 0).localCheckpoint()
+    originals = emb.filter(F.col("vec_id") % 3 == 0)
+    cross_copies = (
+        corpus.filter(F.col("vec_id") < 20)
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    )
+    twin_a = originals.filter(F.col("vec_id") < 15).withColumn(
+        "vec_id", F.col("vec_id") + 2_000_000
+    )
+    twin_b = originals.filter(F.col("vec_id") < 15).withColumn(
+        "vec_id", F.col("vec_id") + 3_000_000
+    )
+    batch = (
+        originals.unionByName(cross_copies)
+        .unionByName(twin_a)
+        .unionByName(twin_b)
+        .localCheckpoint()
+    )
+    return corpus.unionByName(batch), corpus, batch
+
+
+@pytest.fixture(scope="module")
+def emb_index_path(spark, emb_corpus_and_batch, tmp_path_factory):
+    _, corpus, _ = emb_corpus_and_batch
+    path = str(tmp_path_factory.mktemp("emb_index") / "idx")
+    incremental.write_embedding_index(
+        corpus, "vec_id", "embedding", path, n_bits=8, n_tables=4
+    )
+    return path
+
+
+def test_embedding_incremental_matches_batch_operator(
+    spark, emb_corpus_and_batch, emb_index_path
+):
+    """Probe+verify against the store ≡ the batch LSH operator on the
+    union corpus at the index's own parameters, restricted to pairs
+    touching the batch — same hyperplanes, same candidates, same exact
+    cosine rounded to 4."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb, _, batch = emb_corpus_and_batch
+    got = incremental.incremental_embedding_near_dups(
+        spark, batch, "vec_id", "embedding", emb_index_path, threshold=0.9
+    )
+    batch_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    union_pairs = embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.9, n_bits=8, n_tables=4
+    )
+    want = {
+        (r["id1"], r["id2"], r["cosine"])
+        for r in union_pairs.collect()
+        if r["id1"] in batch_ids or r["id2"] in batch_ids
+    }
+    assert {
+        (r["id1"], r["id2"], r["cosine"]) for r in got.collect()
+    } == want
+    assert want  # fixture plants duplicates across the modulus split
+    # both probe sides fired
+    assert {r["vs"] for r in got.select("vs").distinct().collect()} == {
+        "corpus",
+        "batch",
+    }
+
+
+def test_embedding_insert_and_append_roundtrip(
+    spark, emb_corpus_and_batch, tmp_path
+):
+    """Insert survivors, append them, re-run: everything self-matches at
+    cosine 1.0 and nothing is re-admitted (meta-file parameters make the
+    rebucketing bit-identical)."""
+    _, corpus, batch = emb_corpus_and_batch
+    path = str(tmp_path / "idx")
+    incremental.write_embedding_index(
+        corpus, "vec_id", "embedding", path, n_bits=8, n_tables=4
+    )
+    survivors = incremental.incremental_embedding_insert(
+        spark, batch, "vec_id", "embedding", path
+    ).localCheckpoint()
+    n_surv = survivors.count()
+    assert 0 < n_surv < batch.count()  # policy non-vacuous
+
+    incremental.append_to_embedding_index(survivors, "vec_id", "embedding", path)
+    rerun = incremental.incremental_embedding_insert(
+        spark, batch, "vec_id", "embedding", path
+    )
+    assert rerun.isEmpty()
