@@ -374,3 +374,97 @@ def test_embedding_near_dups_planted(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
     assert not any(3 in p for p in pairs)
+
+
+def test_prefix_filter_matches_exact_jaccard(spark, sf_dir):
+    """The prefix-filter strategy (row-local lexicographic prefix ->
+    capped posting emission -> exact set verification) is LOSSLESS: with
+    a cap no shingle reaches, its pair set and jaccard values equal the
+    uncapped exact join form — the prefix-filter theorem (a pair at
+    J >= t shares >= ceil(t*|A|) shingles, so both prefixes of length
+    |A| - ceil(t*|A|) + 1 contain the smallest common one) checked
+    end-to-end, fixture + randomized word soup."""
+    import random
+
+    from aws_snowflake_kinesis_airflow_pipeline_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for t in (0.8, 0.5):
+        exact = {
+            (r["id1"], r["id2"], r["jaccard"])
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=t
+            ).collect()
+        }
+        pref = {
+            (r["id1"], r["id2"], r["jaccard"])
+            for r in dedup.ngram_jaccard_pairs(
+                docs,
+                "doc_id",
+                "text",
+                threshold=t,
+                max_doc_freq=10_000,
+                prefix_filter=True,
+            ).collect()
+        }
+        assert pref == exact
+    assert exact  # non-vacuous at t=0.5 on the fixture
+
+    rng = random.Random(11)
+    vocab = [f"w{j}" for j in range(30)]
+    rows = [(i, " ".join(rng.choices(vocab, k=rng.randint(3, 15)))) for i in range(60)]
+    # plant a high-jaccard pair
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta theta"))
+    soup = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            soup, "doc_id", "text", threshold=0.4
+        ).collect()
+    }
+    pref = {
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            soup, "doc_id", "text", threshold=0.4, max_doc_freq=10_000,
+            prefix_filter=True,
+        ).collect()
+    }
+    assert pref == exact and (100, 101) in {p[:2] for p in pref}
+
+
+def test_prefix_filter_cap_is_recall_only(spark):
+    """With the cap engaged, the prefix path may MISS pairs (every common
+    prefix shingle hot) but never reports a distorted value: its output is
+    a subset of exact Jaccard with identical values — unlike the grouped
+    capped path, whose n_inter excludes hot shingles by design."""
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"w{j}" for j in range(25)]
+    rows = [
+        (i, "boiler plate header " + " ".join(rng.choices(vocab, k=10)))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    pref = {
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.3, max_doc_freq=5,
+            prefix_filter=True,
+        ).collect()
+    }
+    assert pref <= exact  # subset with identical values
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", prefix_filter=True
+        )
