@@ -27,8 +27,6 @@ a replayed batch a no-op regardless of where the previous attempt died:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -88,7 +86,11 @@ class NearDupIngest:
         batch_df = batch_df.dropDuplicates([self.id_col]).localCheckpoint()
         self.batches += 1
 
-        bootstrapping = not os.path.isdir(f"{self.index_path}/buckets")
+        # Probe the store by reading it, not by a local-FS isdir — the
+        # index lives on an object store in production.
+        bootstrapping = (
+            self._existing_ids(f"{self.index_path}/buckets") is None
+        )
         if bootstrapping:
             # No store yet: the first batch is its own corpus — the batch
             # operator applies the identical min-id cluster policy, and
