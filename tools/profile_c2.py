@@ -1,0 +1,65 @@
+"""Stage-level wall-clock breakdown of c2 (MinHash-LSH near-dup pairs)
+at a given SF dir — separates the corpus shingle+signature pass, the
+bucket materialization, the banding self-join, and candidate verification
+so perf work targets the real dominator instead of the total.
+
+Usage: python tools/profile_c2.py [sf_dir] (default .scale/sf10)
+"""
+
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+
+from aws_snowflake_kinesis_airflow_pipeline_spark.session import get_spark  # noqa: E402
+from aws_snowflake_kinesis_airflow_pipeline_spark.operators import dedup  # noqa: E402
+
+SF = sys.argv[1] if len(sys.argv) > 1 else ".scale/sf10"
+
+
+def t(label, fn):
+    t0 = time.perf_counter()
+    out = fn()
+    dt = time.perf_counter() - t0
+    print(f"{label:45s} {dt:7.2f} s")
+    return out
+
+
+def main():
+    spark = get_spark()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # warm: parquet footers + py worker daemons
+    docs.count()
+
+    for rep in range(2):
+        print(f"--- rep {rep} ---")
+        per_doc = dedup.doc_shingles(docs, "doc_id", "text")
+        t("shingle pass only (count)", lambda: per_doc.select(
+            F.sum(F.size("hs"))).collect())
+        sig = dedup.minhash_signatures(
+            docs, "doc_id", "text", 64, 3, per_doc=per_doc)
+        t("shingle+minhash kernel (count)", lambda: sig.select(
+            F.count("mins")).collect())
+        buckets = t("bucket triple localCheckpoint", lambda: dedup.band_buckets(
+            sig, "doc_id", 64, 16).localCheckpoint())
+        left = buckets.select(
+            F.col("doc_id").alias("id1"), "band_id", "band_hash")
+        right = buckets.select(
+            F.col("doc_id").alias("id2"), "band_id", "band_hash")
+        cand = t("banding self-join + distinct + ckpt", lambda: (
+            left.join(right, ["band_id", "band_hash"])
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2").distinct().localCheckpoint()))
+        n_cand = cand.count()
+        pairs = dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.8, candidates=cand)
+        n = t("candidate verify (count)", lambda: pairs.count())
+        print(f"candidates={n_cand} verified_pairs={n}")
+        t("full operator end-to-end", lambda: dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text").count())
+
+
+if __name__ == "__main__":
+    main()
