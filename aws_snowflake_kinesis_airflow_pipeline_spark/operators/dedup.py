@@ -621,10 +621,12 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(
         df, id_col, text_col, num_hashes, k, per_doc=per_doc
     )
-    # localCheckpoint the narrow (id, band_id, band_hash) triple: the
-    # candidate self-join reads it on BOTH sides, and without
-    # materialization each side re-runs the whole signature kernel (the
-    # operator's dominant compute — measured 2x the kernel at sf10). Same
+    # localCheckpoint the narrow (id, band_id, band_hash) triple: with
+    # grouped emission it has a single consumer, so this is a pin, not a
+    # dedup of compute — it keeps the signature kernel (the operator's
+    # dominant compute) from ever re-running under a plan change or AQE
+    # re-plan, and A/B at sf10 measured the write+read of the 8M-row
+    # triple as free (within host noise of streaming it). Same
     # discipline as embedding_near_dup_pairs' bucket triple.
     buckets = band_buckets(sig, id_col, num_hashes, bands).localCheckpoint()
 
@@ -809,9 +811,9 @@ def simhash_near_dup_pairs(
     sig_cols = ["simhash"] + (["simhash_hi"] if bits == 128 else [])
     sig = simhash_signatures(df, id_col, text_col, bits=bits)
     words = [F.col(c) for c in sig_cols]
-    # localCheckpoint: the self-join reads the chunk table twice — without
-    # it both sides replay the full signature aggregation (explode + one
-    # conditional sum per bit over every token).
+    # localCheckpoint: pins the full signature aggregation (explode + one
+    # conditional sum per bit over every token — the operator's dominant
+    # compute) so no downstream re-plan can ever replay it.
     chunks = sig.select(
         id_col,
         *sig_cols,
@@ -832,33 +834,54 @@ def simhash_near_dup_pairs(
         id_col, *sig_cols, "ch.chunk_id", "ch.chunk_val"
     ).localCheckpoint()
 
-    left = chunks.select(
-        F.col(id_col).alias("id1"),
-        *[F.col(c).alias(f"{c}_1") for c in sig_cols],
-        "chunk_id",
-        "chunk_val",
+    # Grouped pair emission (same trick as the banding candidates and
+    # c3's postings): ONE exchange of the chunk table into per-
+    # (chunk_id, chunk_val) occupant lists — each entry carries the
+    # signature words, so Hamming verification runs row-locally during
+    # emission and the pair distinct sees only VERIFIED pairs instead of
+    # every spurious chunk collision. The previous self-join form
+    # exchanged the chunk table twice (each row hauling the signature
+    # words) and ran the distinct over unverified candidates. sort_array
+    # on the id-first struct gives id1 < id2 within each bucket; ids are
+    # unique per bucket (one row per doc per chunk).
+    entry = F.struct(
+        F.col(id_col).alias("id"), *[F.col(c) for c in sig_cols]
     )
-    right = chunks.select(
-        F.col(id_col).alias("id2"),
-        *[F.col(c).alias(f"{c}_2") for c in sig_cols],
-        "chunk_id",
-        "chunk_val",
+    postings = (
+        chunks.groupBy("chunk_id", "chunk_val")
+        .agg(F.sort_array(F.collect_list(entry)).alias("es"))
+        .filter(F.size("es") >= 2)
     )
-    hamming = F.bit_count(F.col("simhash_1").bitwiseXOR(F.col("simhash_2")))
+    pairs = postings.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "es",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("es"), i + F.lit(2), F.size("es")),
+                        lambda y: F.struct(
+                            x.alias("e1"), y.alias("e2")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    hamming = F.bit_count(
+        F.col("p.e1.simhash").bitwiseXOR(F.col("p.e2.simhash"))
+    )
     if bits == 128:
         hamming = hamming + F.bit_count(
-            F.col("simhash_hi_1").bitwiseXOR(F.col("simhash_hi_2"))
+            F.col("p.e1.simhash_hi").bitwiseXOR(F.col("p.e2.simhash_hi"))
         )
     return (
-        left.join(right, ["chunk_id", "chunk_val"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select(
-            "id1", "id2", *[f"{c}_{s}" for c in sig_cols for s in (1, 2)]
+        pairs.select(
+            F.col("p.e1.id").alias("id1"),
+            F.col("p.e2.id").alias("id2"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("id1", "id2", "hamming")
+        .distinct()
     )
 
 
