@@ -44,14 +44,12 @@ def main():
             F.count("mins")).collect())
         buckets = t("bucket triple localCheckpoint", lambda: dedup.band_buckets(
             sig, "doc_id", 64, 16).localCheckpoint())
-        left = buckets.select(
-            F.col("doc_id").alias("id1"), "band_id", "band_hash")
-        right = buckets.select(
-            F.col("doc_id").alias("id2"), "band_id", "band_hash")
-        cand = t("banding self-join + distinct + ckpt", lambda: (
-            left.join(right, ["band_id", "band_hash"])
-            .filter(F.col("id1") < F.col("id2"))
-            .select("id1", "id2").distinct().localCheckpoint()))
+        postings = (
+            buckets.groupBy("band_id", "band_hash")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            .filter(F.size("ids") >= 2))
+        cand = t("grouped postings + pair emit + ckpt", lambda: (
+            dedup._posting_pairs(postings).distinct().localCheckpoint()))
         n_cand = cand.count()
         pairs = dedup.ngram_jaccard_pairs(
             docs, "doc_id", "text", k=3, threshold=0.8, candidates=cand)
