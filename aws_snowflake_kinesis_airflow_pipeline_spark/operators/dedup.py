@@ -363,9 +363,20 @@ def ngram_jaccard_pairs(
         s2 = cand_sets.select(
             F.col(id_col).alias("id2"), F.col("hs").alias("hs2")
         )
+        # SHUFFLE_HASH, not broadcast: ``candidates`` usually arrives as
+        # a checkpointed RDD whose origin stats reflect the PRE-
+        # materialization estimate, and the static planner turned that
+        # optimistic guess into a BroadcastExchange of the whole pair set
+        # — AQE cannot demote a statically-planned broadcast over a
+        # non-shuffle input, so a large candidate set kills the driver
+        # (measured: broadcast OOM at sf10 on the prefix-filter strategy,
+        # candidate volume ~1e8). Both sides of these joins are
+        # candidate-volume by construction, so a shuffle join costs
+        # O(candidates) regardless of corpus size, and at bench SFs the
+        # two extra small exchanges are noise.
         return (
-            candidates.join(s1, "id1")
-            .join(s2, "id2")
+            candidates.join(s1.hint("shuffle_hash"), "id1")
+            .join(s2.hint("shuffle_hash"), "id2")
             .select(
                 "id1",
                 "id2",
