@@ -929,9 +929,15 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    # The per-round joins hint SHUFFLE_HASH on the checkpointed side for
+    # the same reason as ngram_jaccard_pairs' verification joins: both
+    # sides are node/edge volume (unbounded at corpus scale), and a
+    # statically mis-estimated broadcast of a checkpointed RDD cannot be
+    # demoted by AQE. neighbor_min is post-aggregation (real AQE stats),
+    # so its join is left to the optimizer.
     for _ in range(max_iterations):
         neighbor_min = (
-            edges.join(labels, edges.id2 == labels.id)
+            edges.join(labels.hint("shuffle_hash"), edges.id2 == labels.id)
             .groupBy(F.col("id1").alias("id"))
             .agg(F.min("component").alias("neighbor_component"))
         )
@@ -948,7 +954,7 @@ def connected_components(
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "id")
+            .join(labels.alias("o").hint("shuffle_hash"), "id")
             .filter(F.col("n.component") != F.col("o.component"))
             .limit(1)
             .count()

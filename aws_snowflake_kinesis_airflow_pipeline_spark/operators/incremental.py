@@ -143,9 +143,13 @@ def _verify_cross_pairs(
     reused directly because its two sides come from one DataFrame."""
     s1 = new_sets.select(F.col(id_col).alias("new_id"), F.col("hs").alias("hs1"))
     s2 = old_sets.select(F.col(id_col).alias("old_id"), F.col("hs").alias("hs2"))
+    # SHUFFLE_HASH for the same reason as ngram_jaccard_pairs' verify
+    # joins: every side is batch/candidate volume, and a statically
+    # mis-estimated broadcast of a checkpointed input cannot be demoted
+    # by AQE (measured driver OOM on the batch path's equivalent join).
     return (
-        candidates.join(s1, "new_id")
-        .join(s2, "old_id")
+        candidates.join(s1.hint("shuffle_hash"), "new_id")
+        .join(s2.hint("shuffle_hash"), "old_id")
         .select(
             "new_id",
             "old_id",
@@ -548,9 +552,11 @@ def incremental_embedding_near_dups(
         vb = sets_b.select(
             F.col(id_col).alias(side_b), F.col("vec").alias("v2")
         )
+        # SHUFFLE_HASH: batch/candidate-volume sides; see
+        # _verify_cross_pairs.
         return (
-            cand.join(va, side_a)
-            .join(vb, side_b)
+            cand.join(va.hint("shuffle_hash"), side_a)
+            .join(vb.hint("shuffle_hash"), side_b)
             # Round AFTER the exact kernel, matching the in-bucket batch
             # operator's np.round(..., 4) so the two paths agree on
             # threshold boundaries.
