@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from .dedup import (
     _hyperplanes,
+    _posting_pairs,
     band_buckets,
     connected_components,
     cosine_pairs_udf,
@@ -256,16 +257,14 @@ def incremental_near_dup_pairs(
         cross_cand, new_per_doc, old_sets, id_col, threshold
     )
 
-    # --- batch vs batch: the ordinary self-join at batch size ----------
-    left = new_buckets.select(F.col(id_col).alias("id1"), "band_id", "band_hash")
-    right = new_buckets.select(F.col(id_col).alias("id2"), "band_id", "band_hash")
-    batch_cand = (
-        left.join(right, ["band_id", "band_hash"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        .distinct()
-        .localCheckpoint()
+    # --- batch vs batch: grouped pair emission at batch size (same form
+    # as minhash_lsh_pairs — one exchange, no candidate self-join) ------
+    batch_postings = (
+        new_buckets.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
+    batch_cand = _posting_pairs(batch_postings).distinct().localCheckpoint()
     batch_pairs = ngram_jaccard_pairs(
         new_df,
         id_col,
@@ -519,15 +518,14 @@ def incremental_embedding_near_dups(
         .localCheckpoint()
     )
 
-    # Batch vs batch: in-batch self-join on the SAME buckets.
-    left = new_buckets.select(F.col(id_col).alias("id1"), "table_id", "bucket")
-    right = new_buckets.select(F.col(id_col).alias("id2"), "table_id", "bucket")
-    batch_cand = (
-        left.join(right, ["table_id", "bucket"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        .distinct()
+    # Batch vs batch: grouped pair emission on the SAME buckets (one
+    # exchange instead of a two-sided self-join; see minhash_lsh_pairs).
+    batch_postings = (
+        new_buckets.groupBy("table_id", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
+    batch_cand = _posting_pairs(batch_postings).distinct()
 
     # Verification: exact cosine at candidate volume. Old vectors come
     # from the store with directory pruning (same discipline as the text
