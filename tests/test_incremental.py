@@ -305,3 +305,61 @@ def test_embedding_insert_and_append_roundtrip(
         spark, batch, "vec_id", "embedding", path
     )
     assert rerun.isEmpty()
+
+
+@pytest.mark.parametrize("seed", [3, 8])
+def test_probe_matches_batch_on_random_corpus(spark, tmp_path, seed):
+    """Off-fixture replay of the probe ≡ batch contract (the
+    test_oracle_parity_fuzz discipline applied here): a random corpus
+    with perturbation-planted near-dups, a random modulus split, the
+    full insert → append → replay cycle. Catches anything the fixture's
+    particular duplicate structure can't reach (singleton batches,
+    duplicate-free buckets, batch-only clusters)."""
+    import random
+
+    rng = random.Random(seed)
+    words = [
+        "the", "cat", "sat", "on", "mat", "dog", "ran", "fast", "blue",
+        "sky", "data", "spark", "query", "join", "shuffle", "hash",
+    ]
+    rows: list[tuple[int, str]] = []
+    i = 0
+    while i < 120:
+        body = " ".join(rng.choice(words) for _ in range(rng.randint(5, 60)))
+        rows.append((i, body))
+        i += 1
+        if rng.random() < 0.3 and i < 120:  # plant a near-dup
+            toks = body.split()
+            toks[rng.randrange(len(toks))] = rng.choice(words)
+            rows.append((i, " ".join(toks)))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    m = rng.randint(2, 4)
+    corpus = docs.filter(F.col("doc_id") % m != 0)
+    batch = docs.filter(F.col("doc_id") % m == 0)
+    path = str(tmp_path / "idx")
+    incremental.write_minhash_index(corpus, "doc_id", "text", path)
+
+    got = _pair_set(
+        incremental.incremental_near_dup_pairs(
+            spark, batch, "doc_id", "text", path
+        )
+    )
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    want = {
+        p
+        for p in _pair_set(minhash_lsh_pairs(docs, "doc_id", "text"))
+        if p[0] in batch_ids or p[1] in batch_ids
+    }
+    assert got == want
+
+    survivors = incremental.incremental_dedup_insert(
+        spark, batch, "doc_id", "text", path
+    ).localCheckpoint()
+    incremental.append_to_index(survivors, "doc_id", "text", path)
+    assert incremental.incremental_dedup_insert(
+        spark, batch, "doc_id", "text", path
+    ).isEmpty()
+    assert incremental.incremental_dedup_insert(
+        spark, survivors, "doc_id", "text", path
+    ).isEmpty()
