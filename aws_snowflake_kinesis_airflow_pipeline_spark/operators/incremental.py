@@ -593,3 +593,138 @@ def incremental_embedding_insert(
         spark, new_df, id_col, vec_col, index_path, threshold, broadcast_batch
     )
     return _greedy_insert(new_df, pairs, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Index compaction — the small-files maintenance pass
+# ---------------------------------------------------------------------------
+#
+# Every append writes its own parquet files into the store; a daily
+# increment cadence therefore grows each directory by one file-wave per
+# day until probe scans are dominated by file-open overhead and footer
+# reads (the classic production small-files failure). Compaction rewrites
+# each store directory as one fresh write-wave — same layout, same sort,
+# same hive partitioning, byte-equivalent probe results — sized from FILE
+# METADATA (no data pre-pass).
+#
+# Crash contract (single-maintainer, offline — the same assumption as any
+# LSH index resize): the swap is rename-based and self-healing. The dance
+# is  write {dir}__compacting  ->  rename {dir} to {dir}__old  ->  rename
+# {dir}__compacting to {dir}  ->  delete {dir}__old.  A crash before the
+# first rename leaves the store untouched (stale __compacting is deleted
+# on the next run); a crash between the renames is repaired by
+# _heal_swap (restores __old); a crash before the final delete leaves a
+# stale __old that the next run clears. On object stores without atomic
+# rename (S3) the rename is copy-based and the offline window is longer —
+# the contract is unchanged.
+
+_COMPACT_TARGET_BYTES = 128 * 1024 * 1024  # one healthy parquet file
+
+
+def _fs_for(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def _dir_bytes(spark: SparkSession, path: str) -> int:
+    fs, hpath, _ = _fs_for(spark, path)
+    return fs.getContentSummary(hpath).getLength()
+
+
+def count_parquet_files(spark: SparkSession, path: str) -> int:
+    """Data files under ``path`` (recursive) — the compaction metric."""
+    fs, hpath, _ = _fs_for(spark, path)
+    it = fs.listFiles(hpath, True)
+    n = 0
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            n += 1
+    return n
+
+
+def _heal_swap(spark: SparkSession, final_dir: str) -> None:
+    """Recover from a crash mid-swap: a lingering __old with no live dir
+    is restored; lingering work dirs are cleared."""
+    fs, hpath, jvm = _fs_for(spark, final_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    old, tmp = Path(final_dir + "__old"), Path(final_dir + "__compacting")
+    if fs.exists(old) and not fs.exists(hpath):
+        fs.rename(old, hpath)
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    if fs.exists(old):
+        fs.delete(old, True)
+
+
+def _swap_in(spark: SparkSession, final_dir: str) -> None:
+    fs, hpath, jvm = _fs_for(spark, final_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    old, tmp = Path(final_dir + "__old"), Path(final_dir + "__compacting")
+    if not fs.rename(hpath, old):
+        raise IOError(f"compaction swap: cannot move {final_dir} aside")
+    if not fs.rename(tmp, hpath):
+        fs.rename(old, hpath)  # roll back
+        raise IOError(f"compaction swap: cannot install {final_dir}")
+    fs.delete(old, True)
+
+
+def _compact_dir(
+    spark: SparkSession,
+    dir_path: str,
+    sort_cols: list[str] | None = None,
+    partition_col: str | None = None,
+) -> None:
+    _heal_swap(spark, dir_path)
+    df = spark.read.parquet(dir_path)
+    tmp = dir_path + "__compacting"
+    if partition_col is not None:
+        # One task per hive bucket -> one file per directory (the
+        # original writer's wave pattern over the unioned data).
+        out = df.repartition(partition_col)
+        out.write.partitionBy(partition_col).mode("overwrite").parquet(tmp)
+    else:
+        n = max(1, -(-_dir_bytes(spark, dir_path) // _COMPACT_TARGET_BYTES))
+        out = df.repartition(n)
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+        out.write.mode("overwrite").parquet(tmp)
+    _swap_in(spark, dir_path)
+
+
+def compact_minhash_index(spark: SparkSession, path: str) -> dict:
+    """Rewrite a text index's store directories as single write-waves;
+    probe results are unchanged (pinned by test). Returns per-directory
+    file counts before/after for the maintenance log."""
+    stats = {}
+    for sub, sort_cols, part in (
+        ("buckets", ["band_id", "band_hash"], None),
+        ("sets", None, "set_bucket"),
+    ):
+        d = f"{path}/{sub}"
+        before = count_parquet_files(spark, d)
+        _compact_dir(spark, d, sort_cols, part)
+        stats[sub] = {
+            "files_before": before,
+            "files_after": count_parquet_files(spark, d),
+        }
+    return stats
+
+
+def compact_embedding_index(spark: SparkSession, path: str) -> dict:
+    """:func:`compact_minhash_index` for the embedding store (meta file
+    untouched — parameters survive compaction by construction)."""
+    stats = {}
+    for sub, sort_cols, part in (
+        ("buckets", ["table_id", "bucket"], None),
+        ("vectors", None, "set_bucket"),
+    ):
+        d = f"{path}/{sub}"
+        before = count_parquet_files(spark, d)
+        _compact_dir(spark, d, sort_cols, part)
+        stats[sub] = {
+            "files_before": before,
+            "files_after": count_parquet_files(spark, d),
+        }
+    return stats

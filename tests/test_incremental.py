@@ -363,3 +363,85 @@ def test_probe_matches_batch_on_random_corpus(spark, tmp_path, seed):
     assert incremental.incremental_dedup_insert(
         spark, survivors, "doc_id", "text", path
     ).isEmpty()
+
+
+def test_compaction_preserves_probes_and_merges_files(spark, tmp_path):
+    """Three append waves fragment the store; compaction rewrites each
+    directory as one write-wave with probe results byte-identical and
+    strictly fewer data files. The embedding store's meta file must
+    survive untouched (probes re-bucket with the index's parameters)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    waves = [docs.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+    path = str(tmp_path / "idx")
+    incremental.write_minhash_index(waves[0], "doc_id", "text", path)
+    for w in waves[1:]:
+        incremental.append_to_index(w, "doc_id", "text", path)
+
+    probe = waves[3].withColumn("doc_id", F.col("doc_id") + 100000)
+    before_pairs = _pair_set(
+        incremental.incremental_near_dup_pairs(
+            spark, probe, "doc_id", "text", path
+        )
+    )
+    assert before_pairs  # planted duplicates make the probe non-vacuous
+    before_files = incremental.count_parquet_files(spark, f"{path}/sets")
+    stats = incremental.compact_minhash_index(spark, path)
+    assert _pair_set(
+        incremental.incremental_near_dup_pairs(
+            spark, probe, "doc_id", "text", path
+        )
+    ) == before_pairs
+    assert stats["sets"]["files_before"] == before_files
+    for sub in ("buckets", "sets"):
+        assert stats[sub]["files_after"] < stats[sub]["files_before"]
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    ewaves = [emb.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    epath = str(tmp_path / "eidx")
+    incremental.write_embedding_index(
+        ewaves[0], "vec_id", "embedding", epath, n_bits=8, n_tables=4
+    )
+    for w in ewaves[1:]:
+        incremental.append_to_embedding_index(w, "vec_id", "embedding", epath)
+    eprobe = ewaves[2].withColumn("vec_id", F.col("vec_id") + 100000)
+
+    def _cos_set(df):
+        return {(r["id1"], r["id2"], r["cosine"]) for r in df.collect()}
+
+    ebefore = _cos_set(
+        incremental.incremental_embedding_near_dups(
+            spark, eprobe, "vec_id", "embedding", epath
+        )
+    )
+    assert ebefore  # shifted ids self-match at cosine 1.0
+    estats = incremental.compact_embedding_index(spark, epath)
+    assert _cos_set(
+        incremental.incremental_embedding_near_dups(
+            spark, eprobe, "vec_id", "embedding", epath
+        )
+    ) == ebefore
+    for sub in ("buckets", "vectors"):
+        assert estats[sub]["files_after"] < estats[sub]["files_before"]
+
+
+def test_compaction_swap_self_heals(spark, tmp_path):
+    """A crash between the two swap renames leaves {dir}__old and no live
+    dir; the next compaction (or probe-prep) restores it losslessly."""
+    import shutil
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    path = str(tmp_path / "idx")
+    incremental.write_minhash_index(docs, "doc_id", "text", path)
+    rows_before = spark.read.parquet(f"{path}/buckets").count()
+
+    shutil.move(f"{path}/buckets", f"{path}/buckets__old")  # mid-swap crash
+    incremental._heal_swap(spark, f"{path}/buckets")
+    assert spark.read.parquet(f"{path}/buckets").count() == rows_before
+
+    # stale work dir from a pre-rename crash is cleared, store untouched
+    shutil.copytree(f"{path}/sets", f"{path}/sets__compacting")
+    incremental._heal_swap(spark, f"{path}/sets")
+    import os
+
+    assert not os.path.exists(f"{path}/sets__compacting")
+    assert spark.read.parquet(f"{path}/sets").count() > 0
