@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import near_dup_dedup
 from ..operators.incremental import (
     append_to_index,
+    compact_minhash_index,
     incremental_dedup_insert,
     write_minhash_index,
 )
@@ -57,6 +58,7 @@ class NearDupIngest:
         num_hashes: int = 64,
         bands: int = 16,
         k: int = 3,
+        compact_every: int | None = None,
     ) -> None:
         self.spark = spark
         self.corpus_path = corpus_path
@@ -67,6 +69,7 @@ class NearDupIngest:
         self.num_hashes = num_hashes
         self.bands = bands
         self.k = k
+        self.compact_every = compact_every
         self.batches = 0
         self.admitted = 0
 
@@ -164,6 +167,15 @@ class NearDupIngest:
                 self.k,
             )
             self.admitted += to_index.count()
+
+        # Periodic small-files maintenance: every append above adds one
+        # parquet wave per store directory; compaction rewrites each as a
+        # single wave with probe results unchanged. Safe inside
+        # foreachBatch — micro-batches are serialized, so the offline-
+        # window contract holds; a crash mid-compaction self-heals on the
+        # next batch (see operators/incremental.py's crash matrix).
+        if self.compact_every and self.batches % self.compact_every == 0:
+            compact_minhash_index(self.spark, self.index_path)
 
     def start(
         self,

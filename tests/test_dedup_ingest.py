@@ -133,3 +133,32 @@ def test_full_replay_admits_nothing(spark, streamed):
 
     assert replay.admitted == 0
     assert spark.read.parquet(corpus).count() == before
+
+
+def test_in_stream_compaction_is_transparent(spark, streamed):
+    """The same waves driven with compact_every=1 (compaction after every
+    micro-batch — the most aggressive setting) must publish the identical
+    corpus: compaction between batches may not change what later probes
+    find. The compacted run's store also holds strictly fewer data files
+    than the uncompacted one."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.incremental import (
+        count_parquet_files,
+    )
+
+    _, _, _, corpus, index, tmp_path, waves_dir = streamed
+    cpath = str(tmp_path / "corpus_compact")
+    ipath = str(tmp_path / "index_compact")
+    ingest = NearDupIngest(spark, cpath, ipath, compact_every=1)
+    source = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(waves_dir)
+    )
+    ingest.start(source, str(tmp_path / "ckpt_compact")).awaitTermination()
+
+    kept = {r["doc_id"] for r in spark.read.parquet(cpath).collect()}
+    want = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert kept == want
+    assert count_parquet_files(spark, f"{ipath}/sets") < count_parquet_files(
+        spark, f"{index}/sets"
+    )
