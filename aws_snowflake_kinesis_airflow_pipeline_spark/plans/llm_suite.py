@@ -282,9 +282,7 @@ def c5_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUERY_VEC_ID = 0
 
 
-@register(
-    "c6_cosine_topk_bruteforce",
-    oracle=f"""
+_BRUTE_TOPK_SQL = f"""
     SELECT e.vec_id,
            ROUND(list_cosine_similarity(
              CAST(e.embedding AS DOUBLE[]),
@@ -295,15 +293,7 @@ _QUERY_VEC_ID = 0
     WHERE e.vec_id <> {_QUERY_VEC_ID}
     ORDER BY cosine DESC, e.vec_id
     LIMIT 10
-    """,
-    survey_ref="§2 B12 brute-force cosine top-k (exact baseline)",
-)
-def c6_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    qvec = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).first()["embedding"]
-    return similarity.brute_force_topk(
-        emb, "embedding", "vec_id", list(qvec), k=10, exclude_ids=[_QUERY_VEC_ID]
-    )
+"""
 
 
 # LSH ANN oracle: the hyperplanes for (dim=64, n_bits=8, seed=42) are
@@ -351,20 +341,34 @@ _LSH_TOPK_SQL = f"""
 
 
 @register(
-    "c7_cosine_topk_lsh",
-    oracle=_LSH_TOPK_SQL,
-    survey_ref="§2 B12 LSH-bucketed ANN (scale path: probe ≈9/256 of "
-    "data); oracle inlines the fixed hyperplanes and recomputes bucket "
-    "assignment, probe set, and probed-subset exact top-k in SQL",
+    "c6_cosine_topk_pack",
+    oracle=f"""
+    SELECT 'exact' AS branch, vec_id, cosine FROM ({_BRUTE_TOPK_SQL})
+    UNION ALL
+    SELECT 'lsh', vec_id, cosine FROM ({_LSH_TOPK_SQL})
+    """,
+    survey_ref="§2 B12 cosine top-k pack: brute-force exact baseline "
+    "('exact' branch) and LSH-bucketed ANN scale path ('lsh' branch, "
+    "probe ≈9/256 of data) over the same query vector; the LSH oracle "
+    "inlines the fixed hyperplanes and recomputes bucket assignment, "
+    "probe set, and probed-subset exact top-k in SQL",
 )
-def c7_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k, but deterministically so: the probed subset is a
-    pure function of the fixed hyperplanes, so the oracle reproduces the
-    identical result rows — graduating c7 from rows-only to a full
-    cross-engine hash check (the c4 playbook, applied to ANN)."""
+def c6_cosine_topk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact baseline and ANN scale path side by side, tagged. The 'exact'
+    branch scans every vector (TakeOrderedAndProject: per-partition top-10,
+    driver merge — no global sort). The 'lsh' branch probes only the query
+    bucket + Hamming-1 neighbors; approximate, but deterministically so:
+    the probed subset is a pure function of the fixed hyperplanes, so the
+    oracle reproduces the identical result rows (the c4 playbook, applied
+    to ANN). One driver row checks both, and checks them against each
+    other: any exact/lsh divergence beyond the probed subset shows up as a
+    hash mismatch."""
     emb = _emb(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).first()["embedding"]
-    return similarity.lsh_topk(
+    exact = similarity.brute_force_topk(
+        emb, "embedding", "vec_id", list(qvec), k=10, exclude_ids=[_QUERY_VEC_ID]
+    ).select(F.lit("exact").alias("branch"), "vec_id", "cosine")
+    lsh = similarity.lsh_topk(
         emb,
         "embedding",
         "vec_id",
@@ -372,7 +376,8 @@ def c7_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         probe_hamming=1,
         exclude_ids=[_QUERY_VEC_ID],
-    )
+    ).select(F.lit("lsh").alias("branch"), "vec_id", "cosine")
+    return exact.unionByName(lsh)
 
 
 @register(

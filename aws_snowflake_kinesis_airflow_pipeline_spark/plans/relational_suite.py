@@ -194,64 +194,68 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "b3_left_join_urgent_order_counts",
+    "b3_outer_semi_anti_pack",
     oracle="""
-    SELECT c_custkey, COUNT(o_orderkey) AS n_urgent
+    SELECT 'left_count' AS op, c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+           COUNT(o_orderkey) AS n
     FROM customer
     LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') u
       ON c_custkey = u.o_custkey
     GROUP BY c_custkey
-    """,
-    survey_ref="§2 B3 left outer join (zero-preserving count)",
-)
-def b3_left_join_urgent_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    urgent = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") == "1-URGENT"
-    )
-    return (
-        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_urgent"))
-    )
-
-
-@register(
-    "b3_semi_anti_customers",
-    oracle="""
-    SELECT 'semi' AS op, c_custkey, c_name
+    UNION ALL
+    SELECT 'semi', c_custkey, c_name, NULL
     FROM customer
     WHERE EXISTS (
       SELECT 1 FROM orders
       WHERE o_custkey = c_custkey AND o_totalprice > 450000
     )
     UNION ALL
-    SELECT 'anti' AS op, c_custkey, c_name
+    SELECT 'anti', c_custkey, c_name, NULL
     FROM customer
     WHERE NOT EXISTS (
       SELECT 1 FROM orders
       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
     )
     """,
-    survey_ref="§2 B3 left-semi (EXISTS) + left-anti (NOT EXISTS) joins, "
-    "tagged so one oracle checks both",
+    survey_ref="§2 B3 left outer (zero-preserving count), left-semi "
+    "(EXISTS) and left-anti (NOT EXISTS) joins, tagged so one oracle "
+    "checks all three",
 )
-def b3_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Big spenders (semi join) and never-urgent customers (anti join) in
-    one tagged result — both join types through the same driver check."""
+def b3_outer_semi_anti_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three outer-family join types over the same customer/orders pair,
+    tagged: per-customer urgent-order counts (left outer, zeros preserved),
+    big spenders (semi join), never-urgent customers (anti join). Each
+    branch is one equi-join shuffle; the union is append-only."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    big = orders.filter(F.col("o_totalprice") > 450000)
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
-    semi = (
-        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
-        .select(F.lit("semi").alias("op"), "c_custkey", "c_name")
+    big = orders.filter(F.col("o_totalprice") > 450000)
+    left_count = (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n"))
+        .select(
+            F.lit("left_count").alias("op"),
+            "c_custkey",
+            F.lit(None).cast("string").alias("c_name"),
+            "n",
+        )
     )
-    anti = (
-        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
-        .select(F.lit("anti").alias("op"), "c_custkey", "c_name")
+    semi = cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        F.lit("semi").alias("op"),
+        "c_custkey",
+        "c_name",
+        F.lit(None).cast("long").alias("n"),
     )
-    return semi.unionByName(anti)
+    anti = cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select(
+        F.lit("anti").alias("op"),
+        "c_custkey",
+        "c_name",
+        F.lit(None).cast("long").alias("n"),
+    )
+    return left_count.unionByName(semi).unionByName(anti)
 
 
 def b4_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,51 +279,22 @@ def b4_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "b5_window_pack",
     oracle="""
-    SELECT o_custkey, o_orderkey,
+    SELECT 'orders' AS branch,
+           CAST(o_custkey AS VARCHAR) AS grp, o_orderkey AS item,
            ROW_NUMBER() OVER (
              PARTITION BY o_custkey
              ORDER BY o_orderdate DESC, o_orderkey DESC
-           ) AS recency_rank,
-           ROUND(COALESCE(LAG(o_totalprice) OVER w, 0), 2) AS prev_price,
+           ) AS rnk,
+           ROUND(COALESCE(LAG(o_totalprice) OVER w, 0), 2) AS v1,
            ROUND(SUM(o_totalprice) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ), 2) AS running_spend
+           ), 2) AS v2
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    """,
-    survey_ref="§2 B5 ranking (row_number), offset (lag), and framed "
-    "aggregate (running sum) window functions in one pass",
-)
-def b5_window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three window-function families over the same per-customer partition
-    (latest-order rank, previous price, running spend) — one shuffle on
-    o_custkey serves all three; state per key is a single row/accumulator."""
-    orders = _t(spark, sf_dir, "orders")
-    w_asc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    w_desc = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.row_number().over(w_desc).alias("recency_rank"),
-        F.round(
-            F.coalesce(F.lag("o_totalprice").over(w_asc), F.lit(0)), 2
-        ).alias("prev_price"),
-        F.round(
-            F.sum("o_totalprice").over(
-                w_asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-            2,
-        ).alias("running_spend"),
-    )
-
-
-@register(
-    "b5_window_top_parts_per_brand",
-    oracle="""
-    SELECT p_brand, p_partkey, p_retailprice FROM (
+    UNION ALL
+    SELECT 'brand_topn', p_brand, p_partkey, rk, p_retailprice, NULL
+    FROM (
       SELECT p_brand, p_partkey, p_retailprice,
              DENSE_RANK() OVER (
                PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey
@@ -327,18 +302,57 @@ def b5_window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM part
     ) WHERE rk <= 3
     """,
-    survey_ref="§2 B5 dense_rank (top-n-per-group)",
+    survey_ref="§2 B5 window-function pack: ranking (row_number), offset "
+    "(lag), framed aggregate (running sum) on the 'orders' branch; "
+    "dense_rank top-n-per-group on the 'brand_topn' branch",
 )
-def b5_window_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b5_window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four window-function families, tagged. 'orders' branch: latest-
+    order rank + previous price + running spend over one per-customer
+    partition — a single shuffle on o_custkey serves all three, state per
+    key is one row/accumulator. 'brand_topn' branch: dense_rank <= 3 per
+    brand — Spark >= 3.5 rewrites the rank filter into WindowGroupLimit, so
+    each input partition forwards at most 3 rows per brand into the window
+    shuffle. Column mapping (orders/brand_topn): grp = custkey-as-string /
+    p_brand, item = o_orderkey / p_partkey, rnk = recency_rank / dense
+    rank, v1 = prev_price / p_retailprice, v2 = running_spend / NULL."""
+    orders = _t(spark, sf_dir, "orders")
+    w_asc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_desc = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    orders_branch = orders.select(
+        F.lit("orders").alias("branch"),
+        F.col("o_custkey").cast("string").alias("grp"),
+        F.col("o_orderkey").alias("item"),
+        F.row_number().over(w_desc).alias("rnk"),
+        F.round(
+            F.coalesce(F.lag("o_totalprice").over(w_asc), F.lit(0)), 2
+        ).alias("v1"),
+        F.round(
+            F.sum("o_totalprice").over(
+                w_asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("v2"),
+    )
     part = _t(spark, sf_dir, "part")
-    w = Window.partitionBy("p_brand").orderBy(
+    w_brand = Window.partitionBy("p_brand").orderBy(
         F.col("p_retailprice").desc(), F.col("p_partkey")
     )
-    return (
-        part.withColumn("rk", F.dense_rank().over(w))
+    brand_branch = (
+        part.withColumn("rk", F.dense_rank().over(w_brand))
         .filter(F.col("rk") <= 3)
-        .select("p_brand", "p_partkey", "p_retailprice")
+        .select(
+            F.lit("brand_topn").alias("branch"),
+            F.col("p_brand").alias("grp"),
+            F.col("p_partkey").alias("item"),
+            F.col("rk").alias("rnk"),
+            F.col("p_retailprice").alias("v1"),
+            F.lit(None).cast("double").alias("v2"),
+        )
     )
+    return orders_branch.unionByName(brand_branch)
 
 
 # --------------------------------------------------------------------------
@@ -666,51 +680,60 @@ def b9_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "b10_json_functions",
+    "b10_json_array_pack",
     oracle="""
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
-           ARRAY_TO_STRING(json_keys(props), ',') AS key_list
+    SELECT 'json' AS branch, CAST(event_id AS VARCHAR) AS k,
+           ARRAY_TO_STRING(json_keys(props), ',') AS s,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS n
     FROM events
-    """,
-    survey_ref="§2 B10 JSON path + keys over events.props",
-)
-def b10_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _t(spark, sf_dir, "events")
-    # One from_json per row serves both outputs — a get_json_object for
-    # k_val would parse the same document a second time (this query is
-    # pure per-row JSON parse, the first to go data-bound as SF grows).
-    m = F.from_json("props", "map<string,string>")
-    return events.select(
-        "event_id",
-        m.getItem("k").cast("int").alias("k_val"),
-        F.array_join(F.map_keys(m), ",").alias("key_list"),
+    UNION ALL
+    SELECT 'topk_tokens', token, NULL, n FROM (
+      SELECT token, COUNT(*) AS n
+      FROM (SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '')) AS token
+            FROM documents)
+      GROUP BY token
+      ORDER BY n DESC, token
+      LIMIT 20
     )
-
-
-@register(
-    "b10_explode_token_counts",
-    oracle="""
-    SELECT token, COUNT(*) AS n
-    FROM (SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '')) AS token
-          FROM documents)
-    GROUP BY token
-    ORDER BY n DESC, token
-    LIMIT 20
     """,
-    survey_ref="§2 B10 array explode (token frequency)",
+    survey_ref="§2 B10 JSON path + keys over events.props ('json' branch) "
+    "and array explode token frequency ('topk_tokens' branch), tagged",
 )
-def b10_explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b10_json_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON/array surface, tagged. 'json' branch: per-event path extraction
+    + key listing — one from_json per row serves both outputs (a
+    get_json_object for n would parse the same document a second time; this
+    branch is pure per-row JSON parse, the first to go data-bound as SF
+    grows). 'topk_tokens' branch: explode-and-count top-20 corpus tokens,
+    a two-level aggregate whose shuffle carries (token, partial count) —
+    map-side combine bounds it by vocabulary, not corpus, size. Column
+    mapping (json/topk_tokens): k = event_id / token, s = key_list / NULL,
+    n = props.k value / token count."""
     from ..functions.text import tokens
 
+    events = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    json_branch = events.select(
+        F.lit("json").alias("branch"),
+        F.col("event_id").cast("string").alias("k"),
+        F.array_join(F.map_keys(m), ",").alias("s"),
+        m.getItem("k").cast("long").alias("n"),
+    )
     docs = _t(spark, sf_dir, "documents")
-    return (
+    topk_branch = (
         docs.select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("token"))
         .limit(20)
+        .select(
+            F.lit("topk_tokens").alias("branch"),
+            F.col("token").alias("k"),
+            F.lit(None).cast("string").alias("s"),
+            "n",
+        )
     )
+    return json_branch.unionByName(topk_branch)
 
 
 # B13 text statistics live in llm_suite (c8_text_features pack,
