@@ -72,6 +72,81 @@ def stratified_deterministic_sample(
     return df.filter(cond | other)
 
 
+def per_group_cap(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    cap: int,
+    seed: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically.
+
+    The web-corpus "per-domain cap": no source may contribute more than
+    ``cap`` documents, and which documents survive is a pure function of
+    (seed, key) — the hash order of :func:`shuffle_hash` — so reruns,
+    repartitions, and engine swaps keep the identical sample. Adds a
+    1-based ``sample_rank`` column (the row's position in its group's hash
+    order).
+
+    Scale shape: one shuffle on ``group_col``. The rank-filter form is
+    deliberate — Spark ≥3.5 rewrites ``row_number() <= cap`` into
+    WindowGroupLimit, so every input partition forwards at most ``cap``
+    rows per group into the exchange; a hot domain costs O(cap · partitions)
+    shuffle rows, not its full document count.
+    """
+    from pyspark.sql.window import Window
+
+    c = F.col(key_col)
+    w = Window.partitionBy(group_col).orderBy(
+        shuffle_hash(c, seed, portable), c
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= cap)
+    )
+
+
+def per_group_weight_budget(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    weight_col: str,
+    budget: int,
+    seed: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """Keep rows, in deterministic hash order, until each group's running
+    weight total would exceed ``budget``.
+
+    The token-budget variant of :func:`per_group_cap`: instead of counting
+    documents it sums a weight (token count) along the same (seed, key)
+    hash order and keeps the maximal prefix whose cumulative weight stays
+    ≤ ``budget`` — "give me ~1B tokens per source, sampled reproducibly".
+    Adds ``cum_weight`` (the running total including the row itself).
+
+    One shuffle on ``group_col``; the running sum is a framed window
+    aggregate with O(1) state per group. Unlike the cap, the prefix filter
+    cannot be pushed below the exchange (a row's fate depends on every
+    earlier row's weight), so budget sampling costs the full group's rows
+    in the shuffle — cap first when both are wanted.
+    """
+    from pyspark.sql.window import Window
+
+    c = F.col(key_col)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(shuffle_hash(c, seed, portable), c)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn(
+            "cum_weight", F.sum(F.col(weight_col).cast("long")).over(w)
+        )
+        .filter(F.col("cum_weight") <= budget)
+    )
+
+
 def shuffle_hash(
     col: Column | str, seed: int = 0, portable: bool = False
 ) -> Column:

@@ -895,3 +895,257 @@ def c21_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii.ipv4_count("text").alias("n_ips"),
         pii.redact_pii("text").alias("redacted"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-preparation operators (B26-B29): chunking, quality funnel,
+# embedding quantization, per-source caps
+# --------------------------------------------------------------------------
+
+
+@register(
+    "c22_doc_chunks",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t,
+             UNNEST(range(0, GREATEST(LEN(t) - 8, 1), 16)) AS chunk_start
+      FROM toks WHERE LEN(t) > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_start // 16 AS INT) AS chunk_idx,
+           CAST(chunk_start AS INT) AS chunk_start,
+           CAST(LEN(w) AS INT) AS chunk_n_tokens,
+           md5(ARRAY_TO_STRING(w, ' ')) AS chunk_fp
+    FROM (
+      SELECT doc_id, chunk_start,
+             LIST_SLICE(t, chunk_start + 1, chunk_start + 24) AS w
+      FROM starts
+    )
+    """,
+    survey_ref="§2 B26 document chunking (overlapping token windows, "
+    "24-token chunks / 8-token overlap; oracle replays the identical "
+    "start-offset and slice arithmetic and fingerprints every window)",
+)
+def c22_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document exploded into overlapping 24-token windows — chunk
+    offsets, lengths, and md5 window fingerprints, so the driver hash
+    covers every token boundary the chunker produces. Pure per-row array
+    expressions + posexplode; no shuffle (see operators/chunking.py)."""
+    from ..operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), "doc_id", "text", chunk_tokens=24, overlap=8
+    )
+
+
+@register(
+    "c23_quality_funnel",
+    oracle="""
+    WITH feat AS (
+      SELECT LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> ''))
+               AS n_tok,
+             LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '') AS t,
+             text
+      FROM documents
+    ),
+    pred AS (
+      SELECT n_tok >= 20 AS p1,
+             (REGEXP_MATCHES(text, '[一-鿿]') OR GREATEST(
+                LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+                    x -> LIST_CONTAINS(['the','and','of','to','is','in','that',
+                                        'it','for','with'], x))),
+                LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+                    x -> LIST_CONTAINS(['der','die','das','und','ist','nicht',
+                                        'ein','mit','für','von'], x))),
+                LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+                    x -> LIST_CONTAINS(['el','la','los','las','es','en','que',
+                                        'por','con','una'], x))),
+                LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+                    x -> LIST_CONTAINS(['le','la','les','est','et','dans',
+                                        'que','pour','une','avec'], x)))) > 0)
+               AS p2,
+             ((LEN(t) - LEN(LIST_DISTINCT(t))) * 1.0 / GREATEST(LEN(t), 1))
+               <= 0.6 AS p3,
+             ROUND(
+               0.4 * LEAST(LENGTH(text) / 200.0, 1.0)
+             + 0.3 * (1.0 - LEAST(((LENGTH(text)
+                   - LENGTH(REGEXP_REPLACE(text, '[^\\p{L}\\p{N}\\s]', '', 'g')))
+                   * 1.0 / GREATEST(LENGTH(text), 1)) * 5.0, 1.0))
+             + 0.3 * (CASE WHEN (LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) * 1.0
+                       / GREATEST(LEN(t), 1))
+                       BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END),
+             4) >= 0.8 AS p4
+      FROM feat
+    ),
+    agg AS (
+      SELECT COUNT(*) AS c0,
+             COUNT(*) FILTER (p1) AS c1,
+             COUNT(*) FILTER (p1 AND p2) AS c2,
+             COUNT(*) FILTER (p1 AND p2 AND p3) AS c3,
+             COUNT(*) FILTER (p1 AND p2 AND p3 AND p4) AS c4
+      FROM pred
+    )
+    SELECT 0 AS stage_idx, 'total' AS stage, c0 AS survivors FROM agg
+    UNION ALL SELECT 1, 'min_length', c1 FROM agg
+    UNION ALL SELECT 2, 'lang_confident', c2 FROM agg
+    UNION ALL SELECT 3, 'not_repetitive', c3 FROM agg
+    UNION ALL SELECT 4, 'quality', c4 FROM agg
+    """,
+    survey_ref="§2 B27 quality-filter funnel (staged corpus curation with "
+    "per-stage attrition: length -> language-ID confidence -> Gopher "
+    "repetition -> composite quality; one aggregate pass, see "
+    "operators/funnel.py)",
+)
+def c23_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor counts for the standard curation cascade over documents.
+    All four predicates evaluate in one projection and aggregate in one
+    pass (conditional sums over cumulative conjunctions) — no joins, no
+    repeated scans; the oracle recomputes every stage predicate from
+    scratch, so a threshold or tokenizer drift in ANY stage moves a
+    driver-checked count. lang_confident mirrors lang_id() != 'und':
+    a CJK codepoint or any marker-word hit."""
+    from ..operators.funnel import quality_funnel
+
+    docs = _docs(spark, sf_dir)
+    stages = [
+        ("min_length", TX.token_count("text") >= 20),
+        ("lang_confident", TX.lang_id("text") != "und"),
+        ("not_repetitive", TX.dup_word_frac("text") <= 0.6),
+        ("quality", TX.quality_score("text") >= 0.8),
+    ]
+    return quality_funnel(docs, stages)
+
+
+@register(
+    "c24_embedding_quant_pack",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) / 127.0 AS scale
+      FROM base
+    ),
+    q AS (
+      SELECT vec_id, v, scale,
+             LIST_TRANSFORM(v, x -> CAST(CASE WHEN scale = 0 THEN 0
+                 ELSE FLOOR(x / scale + 0.5) END AS INT)) AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           CAST(LEN(v) AS INT) AS dim,
+           ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))), 4) AS l2_norm,
+           ROUND(scale, 6) AS scale_r6,
+           CAST(LIST_SUM(qv) AS BIGINT) AS q_sum,
+           CAST(LIST_SUM(LIST_TRANSFORM(qv, x -> ABS(x))) AS BIGINT)
+             AS q_abs_sum,
+           ROUND(LIST_MAX(LIST_TRANSFORM(LIST_ZIP(v, qv),
+                 p -> ABS(p[1] - p[2] * scale))), 6) AS max_abs_err
+    FROM q
+    """,
+    survey_ref="§2 B28 embedding normalization + symmetric int8 "
+    "quantization (per-vector scale = max|x|/127, portable half-up "
+    "rounding; integer checksums pin the quantized vector exactly, the "
+    "reconstruction-error bound pins dequantization)",
+)
+def c24_embedding_quant_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector quantization audit: L2 norm, int8 scale, integer
+    checksums of the quantized vector (sum + abs-sum — exact cross-engine,
+    no float-hash fragility), and the max dequantization error. All
+    higher-order-function expressions, JVM-side, no shuffle; the quantizer
+    rounds via floor(x/scale + 0.5) so Spark and DuckDB agree on ties
+    (see functions/vectors.py)."""
+    from ..functions import vectors as VX
+
+    emb = _emb(spark, sf_dir)
+    with_scale = emb.withColumn("scale", VX.int8_scale("embedding"))
+    with_q = with_scale.withColumn(
+        "qv", VX.int8_quantize("embedding", F.col("scale"))
+    )
+    return with_q.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(VX.l2_norm("embedding"), 4).alias("l2_norm"),
+        F.round("scale", 6).alias("scale_r6"),
+        F.aggregate(
+            "qv", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_sum"),
+        F.aggregate(
+            "qv", F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+        ).alias("q_abs_sum"),
+        F.round(
+            VX.max_dequant_err("embedding", F.col("qv"), F.col("scale")), 6
+        ).alias("max_abs_err"),
+    )
+
+
+@register(
+    "c25_sample_caps_pack",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> ''))
+               AS n_tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, source, n_tok,
+             CAST(CONCAT('0x', SUBSTR(md5(CONCAT('5:',
+                  CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT) AS hh
+      FROM t
+    )
+    SELECT 'cap' AS branch, source, doc_id, rk AS pos FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk
+      FROM h
+    ) WHERE rk <= 15
+    UNION ALL
+    SELECT 'budget', source, doc_id, cw FROM (
+      SELECT doc_id, source,
+             SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY hh, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cw
+      FROM h
+    ) WHERE cw <= 700
+    """,
+    survey_ref="§2 B29 per-source caps: deterministic per-domain document "
+    "cap ('cap' branch, <= 15 docs/source) and per-source token budget "
+    "('budget' branch, <= 700 tokens/source), both ordered by the "
+    "portable md5 permutation the oracle replays bit-for-bit",
+)
+def c25_sample_caps_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two web-corpus downsampling disciplines over documents, tagged:
+    at most 15 docs per source (rank form — WindowGroupLimit pushes the
+    cap below the shuffle) and at most ~700 tokens per source (running-sum
+    prefix form). Selection order is the portable (seed=5, doc_id) md5
+    hash, so the surviving sample is identical on any cluster shape and
+    any engine (see operators/sampling.py)."""
+    from ..operators.sampling import per_group_cap, per_group_weight_budget
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", TX.token_count("text").alias("n_tok")
+    )
+    cap = per_group_cap(
+        docs, "doc_id", "source", cap=15, seed=5, portable=True
+    ).select(
+        F.lit("cap").alias("branch"),
+        "source",
+        "doc_id",
+        F.col("sample_rank").cast("long").alias("pos"),
+    )
+    budget = per_group_weight_budget(
+        docs, "doc_id", "source", "n_tok", budget=700, seed=5, portable=True
+    ).select(
+        F.lit("budget").alias("branch"),
+        "source",
+        "doc_id",
+        F.col("cum_weight").alias("pos"),
+    )
+    return cap.unionByName(budget)

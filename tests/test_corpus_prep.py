@@ -1,0 +1,221 @@
+"""Corpus-preparation operators (SURVEY §2 B26-B29): chunking boundaries,
+funnel monotonicity/consistency, quantization round-trip, per-group caps.
+
+The registered queries (c22-c25) carry the cross-engine oracle checks;
+these tests pin the operator CONTRACTS on adversarial literal inputs the
+fixture corpus can't produce (empty docs, all-zero vectors, exact-budget
+boundaries, sub-cap groups)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_snowflake_kinesis_airflow_pipeline_spark.functions import vectors as VX
+from aws_snowflake_kinesis_airflow_pipeline_spark.operators.chunking import (
+    chunk_documents,
+)
+from aws_snowflake_kinesis_airflow_pipeline_spark.operators.funnel import (
+    apply_funnel,
+    quality_funnel,
+)
+from aws_snowflake_kinesis_airflow_pipeline_spark.operators.sampling import (
+    per_group_cap,
+    per_group_weight_budget,
+)
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- chunking
+
+
+def test_chunk_boundaries_exact(spark):
+    # 10 tokens, chunk=4, overlap=2 -> stride 2, starts < max(10-2,1)=8:
+    # 0,2,4,6 -> windows of 4,4,4,4 tokens
+    text = " ".join(f"t{i}" for i in range(10))
+    out = chunk_documents(
+        _docs_df(spark, [(1, text)]), chunk_tokens=4, overlap=2
+    ).collect()
+    assert [(r["chunk_idx"], r["chunk_start"], r["chunk_n_tokens"]) for r in out] == [
+        (0, 0, 4),
+        (1, 2, 4),
+        (2, 4, 4),
+        (3, 6, 4),
+    ]
+
+
+def test_chunk_short_doc_single_window(spark):
+    # shorter than one window -> exactly one (short) chunk
+    out = chunk_documents(
+        _docs_df(spark, [(1, "a b c")]), chunk_tokens=8, overlap=2
+    ).collect()
+    assert [(r["chunk_idx"], r["chunk_n_tokens"]) for r in out] == [(0, 3)]
+
+
+def test_chunk_empty_doc_yields_no_chunks(spark):
+    out = chunk_documents(
+        _docs_df(spark, [(1, ""), (2, "  \t "), (3, "x y z w")]),
+        chunk_tokens=2,
+        overlap=0,
+    ).collect()
+    assert {r["doc_id"] for r in out} == {3}
+
+
+def test_chunk_coverage_and_overlap(spark):
+    # every token index is covered; consecutive chunks share `overlap`
+    # tokens except possibly the truncated final window
+    n, ct, ov = 23, 6, 3
+    text = " ".join(f"w{i}" for i in range(n))
+    rows = sorted(
+        chunk_documents(
+            _docs_df(spark, [(1, text)]), chunk_tokens=ct, overlap=ov
+        ).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    covered = set()
+    for r in rows:
+        covered |= set(range(r["chunk_start"], r["chunk_start"] + r["chunk_n_tokens"]))
+    assert covered == set(range(n))
+    for a, b in zip(rows, rows[1:]):
+        assert b["chunk_start"] == a["chunk_start"] + (ct - ov)
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(_docs_df(spark, [(1, "a")]), chunk_tokens=4, overlap=4)
+
+
+# ------------------------------------------------------------------ funnel
+
+
+def test_funnel_monotone_and_matches_apply(spark):
+    df = spark.createDataFrame(
+        [(i, i % 3 == 0, i % 2 == 0) for i in range(30)],
+        "id long, p3 boolean, p2 boolean",
+    )
+    stages = [("div3", F.col("p3")), ("even", F.col("p2"))]
+    rows = {r["stage"]: r for r in quality_funnel(df, stages).collect()}
+    surv = [rows["total"], rows["div3"], rows["even"]]
+    assert [r["stage_idx"] for r in surv] == [0, 1, 2]
+    counts = [r["survivors"] for r in surv]
+    assert counts == sorted(counts, reverse=True)  # monotone non-increasing
+    assert counts == [30, 10, 5]
+    assert apply_funnel(df, stages).count() == counts[-1]
+
+
+def test_funnel_null_predicate_drops(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None)], "id long, s string"
+    )
+    rows = {
+        r["stage"]: r["survivors"]
+        for r in quality_funnel(df, [("nonnull", F.length("s") > 0)]).collect()
+    }
+    assert rows == {"total": 2, "nonnull": 1}  # NULL predicate == drop
+
+
+def test_funnel_rejects_duplicate_stage_names(spark):
+    import pytest
+
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        quality_funnel(df, [("a", F.lit(True)), ("a", F.lit(False))])
+    with pytest.raises(ValueError):
+        quality_funnel(df, [])
+
+
+# ------------------------------------------------------------ quantization
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [2.0, 2.0, -2.0, 1.0])],
+        "vec_id long, v array<float>",
+    )
+    out = (
+        df.withColumn("scale", VX.int8_scale("v"))
+        .withColumn("q", VX.int8_quantize("v", F.col("scale")))
+        .withColumn("err", VX.max_dequant_err("v", F.col("q"), F.col("scale")))
+        .collect()
+    )
+    for r in out:
+        assert all(-127 <= q <= 127 for q in r["q"])
+        assert r["err"] <= r["scale"] / 2 + 1e-12
+        # the max-magnitude element always quantizes to exactly +/-127
+        assert max(abs(q) for q in r["q"]) == 127
+
+
+def test_quantize_zero_vector_exact(spark):
+    df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, v array<float>")
+    r = (
+        df.withColumn("scale", VX.int8_scale("v"))
+        .withColumn("q", VX.int8_quantize("v", F.col("scale")))
+        .withColumn("err", VX.max_dequant_err("v", F.col("q"), F.col("scale")))
+        .collect()[0]
+    )
+    assert r["q"] == [0, 0, 0] and r["err"] == 0.0
+
+
+def test_l2_normalize_unit_norm_and_zero_passthrough(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id long, v array<float>"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in df.select(
+            "vec_id",
+            VX.l2_normalize("v").alias("nv"),
+            VX.l2_norm(VX.l2_normalize("v")).alias("nn"),
+        ).collect()
+    }
+    assert abs(out[1]["nn"] - 1.0) < 1e-12
+    assert out[1]["nv"] == [0.6, 0.8]
+    assert out[2]["nv"] == [0.0, 0.0]  # no divide-by-zero NaNs
+
+
+# ------------------------------------------------------------- group caps
+
+
+def test_per_group_cap_exact_and_stable(spark):
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(40)], "k long, g string"
+    )
+    out = per_group_cap(df, "k", "g", cap=5, seed=1)
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 5 for v in counts.values())
+    # deterministic across partitioning
+    a = {(r["k"], r["sample_rank"]) for r in out.collect()}
+    b = {
+        (r["k"], r["sample_rank"])
+        for r in per_group_cap(df.repartition(7), "k", "g", cap=5, seed=1).collect()
+    }
+    assert a == b
+    # different seed -> different sample (40 rows, overlap all-10 is ~impossible)
+    c = {r["k"] for r in per_group_cap(df, "k", "g", cap=5, seed=2).collect()}
+    assert c != {r["k"] for r in out.collect()}
+
+
+def test_per_group_cap_small_group_kept_whole(spark):
+    df = spark.createDataFrame([(1, "g"), (2, "g")], "k long, g string")
+    assert per_group_cap(df, "k", "g", cap=10).count() == 2
+
+
+def test_weight_budget_maximal_prefix(spark):
+    # weights all 10, budget 35 -> exactly 3 rows per group, in hash order
+    df = spark.createDataFrame(
+        [(i, f"g{i % 2}", 10) for i in range(20)], "k long, g string, w int"
+    )
+    out = per_group_weight_budget(df, "k", "g", "w", budget=35, seed=3)
+    rows = out.collect()
+    per_g = {}
+    for r in rows:
+        per_g.setdefault(r["g"], []).append(r["cum_weight"])
+    for g, cums in per_g.items():
+        assert sorted(cums) == [10, 20, 30]
+    # a single over-budget first row -> empty group, not a crash
+    big = spark.createDataFrame([(1, "g", 100)], "k long, g string, w int")
+    assert per_group_weight_budget(big, "k", "g", "w", budget=35).count() == 0
