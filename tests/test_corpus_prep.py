@@ -219,3 +219,194 @@ def test_weight_budget_maximal_prefix(spark):
     # a single over-budget first row -> empty group, not a crash
     big = spark.createDataFrame([(1, "g", 100)], "k long, g string, w int")
     assert per_group_weight_budget(big, "k", "g", "w", budget=35).count() == 0
+
+
+# ------------------------------------------------------- off-fixture fuzz
+# The c22/c24/c25 oracles replay engine arithmetic in DuckDB; these fuzz
+# the same replay on RANDOM hostile inputs (whitespace soup, empty docs,
+# skewed groups, negative/zero vectors) so parity never silently narrows
+# to what the fixture corpus happens to contain.
+
+
+def _fuzz_docs(n, seed):
+    import random
+
+    rng = random.Random(seed)
+    words = ["the", "cat", "sat", "mat", "dog", "ran", "x", "yz", "qq"]
+    rows = []
+    for i in range(n):
+        k = rng.choice([0, 1, 2, 3, 7, 20, 55, 90])
+        body = " ".join(rng.choice(words) for _ in range(k))
+        pad = rng.choice(["", " ", "\t", "\n\n", "  "])
+        rows.append((i, pad + body + pad, f"s{rng.randint(0, 4)}"))
+    return rows
+
+
+def test_chunking_matches_duckdb_on_random_corpus(spark):
+    import duckdb
+    import pandas as pd
+
+    rows = _fuzz_docs(200, seed=11)
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    got = sorted(
+        tuple(r)
+        for r in chunk_documents(
+            spark.createDataFrame(pdf), chunk_tokens=10, overlap=4
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+        WITH toks AS (
+          SELECT doc_id,
+                 LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '') AS t
+          FROM documents
+        ),
+        starts AS (
+          SELECT doc_id, t,
+                 UNNEST(range(0, GREATEST(LEN(t) - 4, 1), 6)) AS chunk_start
+          FROM toks WHERE LEN(t) > 0
+        )
+        SELECT doc_id, CAST(chunk_start // 6 AS INT), CAST(chunk_start AS INT),
+               CAST(LEN(w) AS INT), md5(ARRAY_TO_STRING(w, ' '))
+        FROM (SELECT doc_id, chunk_start,
+                     LIST_SLICE(t, chunk_start + 1, chunk_start + 10) AS w
+              FROM starts)
+        """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_group_caps_match_duckdb_on_random_corpus(spark):
+    import duckdb
+    import pandas as pd
+
+    from aws_snowflake_kinesis_airflow_pipeline_spark.functions.text import (
+        token_count,
+    )
+
+    rows = _fuzz_docs(300, seed=23)
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    docs = spark.createDataFrame(pdf).select(
+        "doc_id", "source", token_count("text").alias("n_tok")
+    )
+    got_cap = sorted(
+        (r["source"], r["doc_id"], r["sample_rank"])
+        for r in per_group_cap(
+            docs, "doc_id", "source", cap=9, seed=5, portable=True
+        ).collect()
+    )
+    got_budget = sorted(
+        (r["source"], r["doc_id"], r["cum_weight"])
+        for r in per_group_weight_budget(
+            docs, "doc_id", "source", "n_tok", budget=120, seed=5, portable=True
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    base = """
+        WITH t AS (
+          SELECT doc_id, source,
+                 LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> ''))
+                   AS n_tok
+          FROM documents
+        ),
+        h AS (
+          SELECT doc_id, source, n_tok,
+                 CAST(CONCAT('0x', SUBSTR(md5(CONCAT('5:',
+                      CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT) AS hh
+          FROM t
+        )
+    """
+    want_cap = sorted(
+        tuple(r)
+        for r in con.execute(
+            base
+            + """
+        SELECT source, doc_id, rk FROM (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk
+          FROM h) WHERE rk <= 9
+        """
+        ).fetchall()
+    )
+    want_budget = sorted(
+        tuple(r)
+        for r in con.execute(
+            base
+            + """
+        SELECT source, doc_id, cw FROM (
+          SELECT doc_id, source,
+                 SUM(n_tok) OVER (PARTITION BY source ORDER BY hh, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+          FROM h) WHERE cw <= 120
+        """
+        ).fetchall()
+    )
+    assert got_cap == want_cap
+    assert got_budget == want_budget
+
+
+def test_quantization_matches_duckdb_on_random_vectors(spark):
+    import duckdb
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(31)
+    rows = []
+    for i in range(150):
+        dim = rng.choice([4, 8, 16])
+        scale = rng.choice([0.001, 0.5, 10.0])
+        v = [round(rng.uniform(-scale, scale), 6) for _ in range(dim)]
+        if i % 10 == 0:
+            v = [0.0] * dim  # all-zero vectors exercise the scale=0 branch
+        rows.append((i, v))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    sdf = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(
+        tuple(r)
+        for r in sdf.withColumn("scale", VX.int8_scale("embedding"))
+        .withColumn("qv", VX.int8_quantize("embedding", F.col("scale")))
+        .select(
+            "vec_id",
+            F.round("scale", 6).alias("s6"),
+            F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+                "q_sum"
+            ),
+            F.aggregate(
+                "qv", F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+            ).alias("q_abs"),
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+        WITH s AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 LIST_MAX(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+                          x -> ABS(x))) / 127.0 AS scale
+          FROM embeddings
+        ),
+        q AS (
+          SELECT vec_id, scale,
+                 LIST_TRANSFORM(v, x -> CAST(CASE WHEN scale = 0 THEN 0
+                     ELSE FLOOR(x / scale + 0.5) END AS INT)) AS qv
+          FROM s
+        )
+        SELECT vec_id, ROUND(scale, 6),
+               CAST(LIST_SUM(qv) AS BIGINT),
+               CAST(LIST_SUM(LIST_TRANSFORM(qv, x -> ABS(x))) AS BIGINT)
+        FROM q
+        """
+        ).fetchall()
+    )
+    assert got == want
