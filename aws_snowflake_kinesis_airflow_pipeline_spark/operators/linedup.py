@@ -1,0 +1,88 @@
+"""Corpus-wide line-level dedup: strip boilerplate lines shared by many
+documents (SURVEY.md §2 B30).
+
+The CCNet/Dolma pre-training stage between document dedup and quality
+filtering: navigation chrome, cookie banners, footers and license
+boilerplate repeat across thousands of pages, survive *document*-level
+dedup (each page is still unique as a whole), and poison n-gram statistics.
+The fix is frequency-based: a line whose DOCUMENT frequency exceeds a
+threshold is boilerplate and is removed from every document; each
+document's remaining lines are reassembled in their original order.
+
+Scale shape — two corpus-volume equality exchanges, the same budget as
+exact dedup:
+
+1. line df: distinct (doc, line) → groupBy(line) count — map-side combine
+   bounds the exchange by per-partition distinct lines;
+2. filter: lines left-anti-join the hot-line set on line text (equality
+   join on the line; no broadcast assumption — the hot set is small by
+   construction at sane thresholds, but its size is data-dependent, so the
+   planner/AQE decides);
+3. reassemble: groupBy(doc) over (position, line) structs, sort_array, and
+   rejoin — one exchange keyed by document id.
+
+No step is ever pair-quadratic and no driver-side collection exists at any
+size. At 100 TB the df pass would typically hash the line (16-byte
+fingerprint) instead of shuffling line bodies; kept as text here because
+the operator's oracle covers every byte of the rebuilt documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def drop_duplicate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_line_df: int = 3,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Remove every line whose document frequency exceeds ``max_line_df``.
+
+    Returns one row per input document: ``(id_col, clean_text, n_lines,
+    n_kept)`` — the reassembled text (original line order, ``line_sep``
+    rejoined; empty string when every line was boilerplate), the original
+    line count, and the kept line count. A line's document frequency
+    counts each document once however often the line repeats inside it.
+    Documents with no text produce ``clean_text = ''``.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(line_sep), -1)).alias(
+            "pos", "line"
+        ),
+    )
+    hot = (
+        lines.select(id_col, "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count("*").alias("line_df"))
+        .filter(F.col("line_df") > max_line_df)
+        .select("line")
+    )
+    kept = lines.join(hot, "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            line_sep,
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    # left join: a document whose every line was boilerplate has no kept
+    # rows — surface it as an empty document, not a dropped row.
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )

@@ -1149,3 +1149,91 @@ def c25_sample_caps_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_weight").alias("pos"),
     )
     return cap.unionByName(budget)
+
+
+# Line-level dedup fixture: the driver corpus is single-line fake text, so
+# boilerplate *line* structure (the thing B30 removes) is planted — the
+# same pattern as c21's planted PII rows. Three boilerplate lines each
+# appear in >= 5 planted docs (df > 3 -> stripped everywhere); content
+# lines are unique (kept). One doc is pure boilerplate (rebuilds to ''),
+# one repeats a boilerplate line twice in the same doc (df counts docs,
+# not occurrences).
+_BOILER = [
+    "subscribe to our newsletter today",
+    "copyright example corp all rights reserved",
+    "home about contact privacy terms",
+]
+_LINEDUP_PLANTED: list[tuple[int, str]] = [
+    (9_000_000 + i, "\n".join([_BOILER[0], f"unique content line {i}",
+                               _BOILER[1], f"more unique text {i} here",
+                               _BOILER[2]]))
+    for i in range(5)
+] + [
+    (9_000_100, "\n".join(_BOILER)),                      # all boilerplate
+    (9_000_101, "\n".join([_BOILER[0], "kept line", _BOILER[0]])),  # in-doc repeat
+]
+
+
+def _linedup_planted_values_sql() -> str:
+    rows = ", ".join(
+        "({}, '{}')".format(i, t.replace("\n", "' || CHR(10) || '"))
+        for i, t in _LINEDUP_PLANTED
+    )
+    return f"(VALUES {rows}) AS planted(doc_id, text)"
+
+
+@register(
+    "c26_line_dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id, text FROM {_linedup_planted_values_sql()}
+    ),
+    lines AS (
+      SELECT doc_id,
+             UNNEST(STRING_SPLIT(text, CHR(10))) AS line,
+             generate_subscripts(STRING_SPLIT(text, CHR(10)), 1) - 1 AS pos
+      FROM base
+    ),
+    hot AS (
+      SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)
+      GROUP BY line HAVING COUNT(*) > 3
+    ),
+    kept AS (
+      SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot)
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             ARRAY_TO_STRING(LIST(line ORDER BY pos), CHR(10)) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+    SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+           t.n_lines, COALESCE(r.n_kept, 0) AS n_kept
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    survey_ref="§2 B30 corpus-wide line-level dedup (boilerplate removal: "
+    "lines with document frequency > 3 stripped, documents reassembled in "
+    "original line order; planted multi-line docs make the stage "
+    "non-vacuous at every SF)",
+)
+def c26_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-line removal over documents + planted multi-line rows.
+    Two corpus-volume equality exchanges (line-df count, per-doc
+    reassembly) — the same budget as exact dedup, no pair blowup anywhere;
+    the oracle rebuilds every document byte-for-byte, so the driver hash
+    covers line splitting, df counting, the strip, and order-preserving
+    reassembly (see operators/linedup.py)."""
+    from ..operators.linedup import drop_duplicate_lines
+
+    planted = spark.createDataFrame(
+        _LINEDUP_PLANTED, "doc_id long, text string"
+    )
+    base = (
+        _docs(spark, sf_dir).select("doc_id", "text").unionByName(planted)
+    )
+    return drop_duplicate_lines(
+        base, "doc_id", "text", max_line_df=3, line_sep="\n"
+    )

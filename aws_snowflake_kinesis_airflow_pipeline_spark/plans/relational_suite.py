@@ -483,14 +483,16 @@ def b7_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS cov_qty_price,
            ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS median_price,
            ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_price,
-           TRUE AS approx_pctl_within_1pct
+           TRUE AS approx_pctl_within_1pct,
+           TRUE AS hll_parts_within_5pct
     FROM lineitem
     GROUP BY l_returnflag
     """,
     survey_ref="§2 B8 exact COUNT(DISTINCT) + statistical aggregates "
     "(stddev/var/corr/covar) + exact interpolated percentiles, one "
-    "grouping; plus the bounded-memory approx_percentile scale path "
-    "pinned inside a 1% error band",
+    "grouping; plus both bounded-memory sketches pinned in error bands: "
+    "approx_percentile (GK digest, 1% of exact) and "
+    "approx_count_distinct (HLL, 5% of the exact distinct count)",
 )
 def b8_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact-aggregate family over one grouping, as two aggregates
@@ -508,8 +510,8 @@ def b8_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the accuracy parameter, error bounded in rank). Both run
     here, and the driver-checked booleans assert the digest lands within
     1% of the exact value (observed ~0.02% at accuracy=10000; the digest
-    is deterministic for fixed data) — same error-band-oracle pattern as
-    b8_approx_count_distinct.
+    is deterministic for fixed data) — the same error-band-oracle pattern
+    as the HLL distinct-count branch below.
 
     Both quantiles come from ONE percentile buffer each (array-form
     ``percentile(col, array(0.5, 0.9))``): per-quantile calls build and
@@ -519,6 +521,16 @@ def b8_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     distincts = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+    # HLL sketch in its own aggregate for the same Expand reason; its raw
+    # value differs between engines (Spark HLL++ vs DuckDB HLL), so the
+    # driver-checkable form is the error-band boolean vs the exact count
+    # (observed ~1% at rsd=0.02; deterministic for fixed data). The
+    # production op at 100 TB is the sketch alone — one pass, no dedup
+    # shuffle of the key domain, mergeable partials; the exact count here
+    # is the verification harness.
+    hll = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_hll_parts")
     )
     qs = F.array(F.lit(0.5), F.lit(0.9))
     moments = li.groupBy("l_returnflag").agg(
@@ -556,62 +568,15 @@ def b8_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("approx_pctl_within_1pct"),
     )
-    return distincts.join(moments, "l_returnflag")
-
-
-@register(
-    "b8_approx_count_distinct",
-    oracle="""
-    SELECT l_returnflag,
-           COUNT(DISTINCT l_partkey) AS exact_parts,
-           TRUE AS approx_within_5pct
-    FROM lineitem
-    GROUP BY l_returnflag
-    ORDER BY l_returnflag
-    """,
-    survey_ref="§2 B8 approx_count_distinct (HLL sketch); driver-visible "
-    "error-band assertion against the exact count",
-)
-def b8_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL-sketch distinct: the 100 TB answer to COUNT(DISTINCT) — one pass,
-    no dedup shuffle of the key domain, mergeable partial sketches.
-
-    The sketch value itself differs between engines (Spark HLL++ vs
-    DuckDB's HLL), so the raw approx count cannot be hash-compared. The
-    driver-checkable form is the error-band property: emit the exact
-    count plus a boolean asserting |approx - exact| / exact <= 5% (2.5x
-    the configured rsd=0.02; observed error on the fixtures is ~1% and
-    Spark's sketch is deterministic for fixed data, so the boolean is
-    stable). The oracle recomputes the exact count and pins the boolean
-    TRUE — if the sketch ever strayed outside its documented band the
-    hash check would fail. The production op at 100 TB is the sketch
-    alone; the exact count here is the verification harness.
-
-    The exact and sketch branches are SEPARATE aggregates joined on the
-    3-row key: mixing countDistinct with any other aggregate makes
-    Catalyst Expand every input row into the distinct shuffle alongside
-    the sketch buffer (measured ~4.7x slower at sf1) — same split as
-    b8_stats_pack, and the sketch branch alone is the one that ships to
-    100 TB."""
-    li = _t(spark, sf_dir, "lineitem")
-    exact = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("exact_parts")
-    )
-    approx = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx")
-    )
     return (
-        exact.join(F.broadcast(approx), "l_returnflag")
-        .select(
-            "l_returnflag",
-            "exact_parts",
-            (
-                F.abs(F.col("approx") - F.col("exact_parts"))
-                / F.col("exact_parts")
-                <= 0.05
-            ).alias("approx_within_5pct"),
+        distincts.join(moments, "l_returnflag")
+        .join(F.broadcast(hll), "l_returnflag")
+        .withColumn(
+            "hll_parts_within_5pct",
+            F.abs(F.col("_hll_parts") - F.col("n_parts")) / F.col("n_parts")
+            <= 0.05,
         )
-        .orderBy("l_returnflag")
+        .drop("_hll_parts")
     )
 
 

@@ -410,3 +410,48 @@ def test_quantization_matches_duckdb_on_random_vectors(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# -------------------------------------------------------- line-level dedup
+
+
+def test_line_dedup_strips_hot_lines_preserves_order(spark):
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.linedup import (
+        drop_duplicate_lines,
+    )
+
+    boiler = "all rights reserved"
+    rows = [(i, f"intro {i}\n{boiler}\nbody {i}") for i in range(4)]
+    rows.append((100, boiler))                      # pure boilerplate doc
+    rows.append((101, f"{boiler}\nkeep me\n{boiler}"))  # in-doc repeat
+    out = {
+        r["doc_id"]: r
+        for r in drop_duplicate_lines(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            max_line_df=3,
+        ).collect()
+    }
+    assert len(out) == 6  # every input doc survives as a row
+    for i in range(4):
+        assert out[i]["clean_text"] == f"intro {i}\nbody {i}"  # order kept
+        assert (out[i]["n_lines"], out[i]["n_kept"]) == (3, 2)
+    assert out[100]["clean_text"] == "" and out[100]["n_kept"] == 0
+    assert out[101]["clean_text"] == "keep me"
+
+
+def test_line_dedup_df_counts_docs_not_occurrences(spark):
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.linedup import (
+        drop_duplicate_lines,
+    )
+
+    # one doc repeats a line 5 times -> df is still 1 -> kept
+    rows = [(1, "x\nx\nx\nx\nx"), (2, "y")]
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in drop_duplicate_lines(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            max_line_df=3,
+        ).collect()
+    }
+    assert out[1] == "x\nx\nx\nx\nx"
+    assert out[2] == "y"
