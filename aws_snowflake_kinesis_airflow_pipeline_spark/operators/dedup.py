@@ -190,7 +190,7 @@ def ngram_jaccard_pairs(
     max_doc_freq: int | None = None,
     sizes: DataFrame | None = None,
     per_doc_sets: DataFrame | None = None,
-    prefix_filter: bool = False,
+    prefix_filter: bool | str = False,
 ) -> DataFrame:
     """Exact word-k-gram Jaccard >= threshold pairs (id1 < id2).
 
@@ -229,7 +229,23 @@ def ngram_jaccard_pairs(
     emitted row-locally -> count per pair. One index-sized exchange
     instead of three; identical pair set.
 
-    ``prefix_filter`` (requires ``max_doc_freq``, no ``candidates``):
+    ``prefix_filter="df"`` (requires ``max_doc_freq``, no ``candidates``):
+    the frequency-ordered prefix filter under capped-Jaccard semantics —
+    candidates only where RARE shingles collide, verification candidate-
+    volume, result bit-identical to the grouped capped path (rationale
+    and losslessness argument at the branch below). Strategy choice is a
+    measured corpus-shape trade-off (sf10 A/B, 500k docs): the synthetic
+    corpus's ~100-word vocabulary makes 95% of shingle instances df 6-20,
+    so rarest-first prefixes still collide (candidates 113M -> 11.9M, a
+    10x cut) but the two extra corpus-volume exchanges (df attach +
+    per-doc regroup, ~20 s) outweigh the saved pair aggregation: grouped
+    29 s, df-prefix 47 s warm — grouped stays c3's registered config. On
+    a heavy-tailed real corpus the calculus inverts: most shingles are
+    df=1 (generate NO pairs), prefixes starve candidate generation to
+    near-output volume, and the pair aggregation the grouped path must do
+    is the piece that blows up instead.
+
+    ``prefix_filter=True`` (requires ``max_doc_freq``, no ``candidates``):
     candidates are generated from each document's PREFIX only — its first
     ``|A| - ceil(t·|A|) + 1`` shingles under the global lexicographic
     order (:func:`doc_shingles_with_prefix`), lossless by the
@@ -248,6 +264,109 @@ def ngram_jaccard_pairs(
     co-prefix pairs are rare relative to the corpus (the standard
     SSJoin/All-Pairs regime).
     """
+    if prefix_filter == "df":
+        # Frequency-ordered prefix filter (the All-Pairs/PPJoin canonical
+        # ordering): the global shingle order is (document frequency ASC,
+        # shingle), so every document's prefix holds its RAREST shingles
+        # and candidate pairs form only where rare shingles collide.
+        # Motivation, measured at derived sf10 (500k docs, ~52 shingles
+        # each): the grouped path emits 127M candidate pairs of which 113M
+        # are distinct and ~2.5k survive the threshold — co-shingled pairs
+        # share ~1.1 shingles on average, so pair-count aggregation is
+        # 99.998% waste. df-ordering starves candidate generation instead:
+        # a df=1 shingle (the majority of every prefix on a heavy-tailed
+        # corpus) generates NO pairs at all.
+        #
+        # Semantics are identical to the grouped capped path (the c3
+        # oracle): intersections count COOL shingles only (df <= cap),
+        # sizes count every shingle. Losslessness of the prefix w.r.t.
+        # that capped Jaccard: j = m/(n1+n2-m) >= t with n2 >= m gives
+        # m >= t*n1 (and symmetrically m >= t*n2), so a qualifying pair
+        # shares alpha_i = ceil(t*n_i) capped shingles; sharing alpha_i
+        # elements under one total order forces the smallest shared
+        # element into BOTH prefixes of length |capped_i| - alpha_i + 1.
+        # The threshold enters as t - 5e-5 because the shipped filter is
+        # round(j, 4) >= t, which admits j down to t - 5e-5; integer
+        # arithmetic on t*100000 - 5 keeps prefix lengths engine-exact.
+        # A document with |capped| < alpha can never qualify -> empty
+        # prefix (greatest(0)), pruned entirely.
+        if candidates is not None or max_doc_freq is None:
+            raise ValueError(
+                "df prefix filter needs max_doc_freq and no candidates"
+            )
+        per_doc = doc_shingles(df, id_col, text_col, k).localCheckpoint()
+        full_sizes = per_doc.select(id_col, F.size("hs").alias("n_sh"))
+        idx = per_doc.select(id_col, F.explode("hs").alias("shingle"))
+        cool = (
+            idx.groupBy("shingle")
+            .agg(F.count("*").alias("sdf"))
+            .filter(F.col("sdf") <= max_doc_freq)
+        )
+        # inner join drops hot shingles and attaches each survivor's df;
+        # both sides arrive partitioned by shingle from the aggregation.
+        cidx = idx.join(cool, "shingle")
+        per_doc_capped = cidx.groupBy(id_col).agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("sdf"), F.col("shingle")))
+            ).alias("arr")
+        )
+        t5 = round(threshold * 100000) - 5
+        alpha = F.floor(
+            (F.lit(t5) * F.col("n_sh") + 99999) / 100000
+        ).cast("int")
+        pre = (
+            per_doc_capped.join(full_sizes, id_col)
+            .select(
+                id_col,
+                F.transform("arr", lambda s: s["shingle"]).alias("hs_capped"),
+                F.greatest(
+                    F.size("arr") - alpha + 1, F.lit(0)
+                ).alias("plen"),
+            )
+            .localCheckpoint()  # read by postings AND verification fetch
+        )
+        postings = (
+            pre.select(
+                id_col,
+                F.explode(F.slice("hs_capped", 1, F.col("plen"))).alias(
+                    "shingle"
+                ),
+            )
+            .groupBy("shingle")
+            .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+            # occupancy <= sdf <= max_doc_freq by construction; >= 2 keeps
+            # only pair-generating postings
+            .filter(F.size("ids") >= 2)
+        )
+        cand = _posting_pairs(postings).distinct().localCheckpoint()
+        # Candidate-volume verification (the array_path discipline):
+        # fetch capped sets for candidate ids only (AQE broadcasts the id
+        # side), intersect row-locally, finalize against FULL sizes.
+        # SHUFFLE_HASH on the pair joins for the usual reason: cand is a
+        # checkpointed RDD whose stats would bait a static broadcast of
+        # the whole pair set.
+        ids = (
+            cand.select(F.col("id1").alias(id_col))
+            .union(cand.select(F.col("id2").alias(id_col)))
+            .distinct()
+        )
+        cand_sets = pre.join(ids, id_col, "left_semi")
+        s1 = cand_sets.select(
+            F.col(id_col).alias("id1"), F.col("hs_capped").alias("hs1")
+        )
+        s2 = cand_sets.select(
+            F.col(id_col).alias("id2"), F.col("hs_capped").alias("hs2")
+        )
+        inter = (
+            cand.join(s1.hint("shuffle_hash"), "id1")
+            .join(s2.hint("shuffle_hash"), "id2")
+            .select(
+                "id1",
+                "id2",
+                F.size(F.array_intersect("hs1", "hs2")).alias("n_inter"),
+            )
+        )
+        return _jaccard_from_inter(inter, full_sizes, id_col, threshold)
     if prefix_filter:
         if candidates is not None or max_doc_freq is None:
             raise ValueError(

@@ -468,3 +468,59 @@ def test_prefix_filter_cap_is_recall_only(spark):
         dedup.ngram_jaccard_pairs(
             docs, "doc_id", "text", prefix_filter=True
         )
+
+
+def test_df_prefix_filter_matches_grouped_capped_path(spark, sf_dir):
+    """The frequency-ordered prefix strategy must be BIT-IDENTICAL to the
+    grouped capped path (c3's registered config shares its oracle): same
+    capped-Jaccard semantics — intersections over cool shingles, full
+    sizes — different candidate generation only. Fixture + a randomized
+    heavy-tailed corpus (many df=1 shingles, the regime the df ordering
+    exists for) + a boilerplate corpus where the cap actually bites."""
+    import random
+
+    from aws_snowflake_kinesis_airflow_pipeline_spark.catalog import load_table
+
+    def both(docs, threshold, cap):
+        g = sorted(
+            tuple(r)
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=threshold,
+                max_doc_freq=cap,
+            ).collect()
+        )
+        p = sorted(
+            tuple(r)
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=threshold,
+                max_doc_freq=cap, prefix_filter="df",
+            ).collect()
+        )
+        return g, p
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    g, p = both(docs, 0.8, 100)
+    assert g == p
+
+    # heavy-tailed soup: a tiny shared core + mostly-unique long tails
+    rng = random.Random(17)
+    rows = []
+    for i in range(80):
+        core = " ".join(rng.choices(["the", "a", "of", "and"], k=3))
+        tail = " ".join(f"u{i}x{j}" for j in range(rng.randint(5, 12)))
+        rows.append((i, core + " " + tail))
+    rows.append((200, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((201, "alpha beta gamma delta epsilon zeta eta iota"))
+    soup = spark.createDataFrame(rows, "doc_id long, text string")
+    g, p = both(soup, 0.4, 50)
+    assert g == p and (200, 201) in {x[:2] for x in g}
+
+    # cap bites: hot boilerplate shingles excluded from both intersections
+    rows = [
+        (i, "boiler plate header line " + " ".join(
+            rng.choices([f"w{j}" for j in range(20)], k=8)))
+        for i in range(40)
+    ]
+    hotdocs = spark.createDataFrame(rows, "doc_id long, text string")
+    g, p = both(hotdocs, 0.3, 5)
+    assert g == p
