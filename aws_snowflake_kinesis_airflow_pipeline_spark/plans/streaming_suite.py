@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..streaming import joins as J
 from ..streaming import windows as W
 from .registry import register
 
@@ -43,10 +44,23 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     GROUP BY 1, 2, 3, 4
+    UNION ALL
+    SELECT 'interval_join' AS op,
+           DATE_TRUNC('hour', p.ts) AS window_start,
+           DATE_TRUNC('hour', p.ts) + INTERVAL '1 hour' AS window_end,
+           'purchase<-click' AS event_type,
+           COUNT(*) AS n
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts > p.ts - INTERVAL '30 minutes'
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    GROUP BY 1, 2, 3, 4
     """,
     survey_ref="§2 B14 tumbling (per event_type) + sliding (1h/30m) window "
-    "counts, tagged so one oracle checks both batch twins of the "
-    "streaming aggregations",
+    "counts + §2 B31 stream-stream interval-join hourly rollup, tagged so "
+    "one oracle checks the batch twins of all three streaming operators",
 )
 def s1_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
@@ -64,7 +78,14 @@ def s1_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("event_type"),
         "n",
     )
-    return tumbling.unionByName(sliding)
+    joined = J.interval_join_hourly_counts(ev, streaming=False).select(
+        F.lit("interval_join").alias("op"),
+        "window_start",
+        "window_end",
+        F.lit("purchase<-click").alias("event_type"),
+        "n",
+    )
+    return tumbling.unionByName(sliding).unionByName(joined)
 
 
 # The gaps-and-islands batch formulation (W.batch_sessions_gaps_and_islands)

@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from aws_snowflake_kinesis_airflow_pipeline_spark.sources import json_landing, rate_events
+from aws_snowflake_kinesis_airflow_pipeline_spark.streaming import joins as J
 from aws_snowflake_kinesis_airflow_pipeline_spark.streaming import windows as W
 from aws_snowflake_kinesis_airflow_pipeline_spark.streaming.pipeline import IngestPipeline
 
@@ -523,3 +524,48 @@ def test_dedup_within_watermark(spark, tmp_path):
     out.awaitTermination()
     got = spark.table("t_dedup").select("event_id").collect()
     assert sorted(r["event_id"] for r in got) == [1, 2]
+
+
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    """B31: watermarked stream-stream self-join == batch twin, including a
+    click exactly at the lag boundary (excluded: half-open interval) and one
+    just inside it."""
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        # clicks at t+0, t+25, t+40; purchases at t+30, t+55
+        for minutes, etype in (
+            (0, "click"),
+            (25, "click"),
+            (30, "purchase"),  # matches clicks at 25 (and 0 exactly at -30m: excluded)
+            (40, "click"),
+            (55, "purchase"),  # matches clicks at 25? (=30m ago: excluded) and 40
+        ):
+            rows.append((eid, BASE_TS + dt.timedelta(minutes=minutes), u, etype))
+            eid += 1
+    # a user with a click but no purchase: contributes nothing
+    rows.append((eid, BASE_TS, 9, "click"))
+    batch_df, stream_df = _streamable_events(spark, tmp_path, rows)
+
+    out = (
+        J.interval_join_pairs(stream_df)
+        .writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination()
+    got = {
+        (r["user_id"], r["left_id"], r["right_id"])
+        for r in spark.table("t_ssjoin").collect()
+    }
+    want = {
+        (r["user_id"], r["left_id"], r["right_id"])
+        for r in J.interval_join_pairs(batch_df, streaming=False).collect()
+    }
+    assert got == want
+    # exact expected structure: per user, purchase@30 <- click@25 only
+    # (click@0 is exactly max_lag ago: half-open excludes), purchase@55 <- click@40
+    per_user = sum(1 for (u, _, _) in want if u == 1)
+    assert per_user == 2 and len(want) == 4
