@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import text as TX
-from ..operators import dedup, multimodal, similarity
+from ..operators import dedup, multimodal, pq, similarity
 from ..operators.spread import spread
 from .registry import register
 
@@ -382,24 +382,44 @@ def c6_cosine_topk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c15_cosine_topk_ivf",
-    oracle=None,  # approximate (cell-probed subset); recall pinned in tests
-    survey_ref="§2 B12 IVF ANN (KMeans cells, probe n nearest — "
-    "scan fraction n_probe/n_clusters)",
+    oracle=None,  # approximate (cell-probed / quantized); recall + plan
+    # invariants pinned in tests/test_similarity.py and tests/test_pq.py
+    survey_ref="§2 B12 IVF ANN (KMeans cells, probe n nearest — scan "
+    "fraction n_probe/n_clusters) + §2 B32 product quantization (ADC "
+    "top-k over m-byte codes, JVM-only scoring), one tagged pack",
 )
 def c15_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    qvec = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).first()["embedding"]
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == _QUERY_VEC_ID).first()[
+            "embedding"
+        ]
+    ]
     model, indexed = similarity.ivf_index(emb, "embedding", n_clusters=8)
-    return similarity.ivf_topk(
+    ivf = similarity.ivf_topk(
         model,
         indexed,
         "embedding",
         "vec_id",
-        list(qvec),
+        qvec,
         k=10,
         n_probe=3,
         exclude_ids=[_QUERY_VEC_ID],
+    ).select(F.lit("ivf").alias("op"), "vec_id", F.col("cosine").alias("score"))
+    pq_model = pq.pq_fit(emb, "embedding", m=16, n_codes=16, dim=64)
+    encoded = pq.pq_encode(emb, "embedding", pq_model)
+    quant = pq.pq_topk(
+        pq_model,
+        encoded,
+        "vec_id",
+        qvec,
+        k=10,
+        exclude_ids=[_QUERY_VEC_ID],
+    ).select(
+        F.lit("pq").alias("op"), "vec_id", F.col("adc_cosine").alias("score")
     )
+    return ivf.unionByName(quant)
 
 
 @register(
