@@ -157,3 +157,61 @@ def test_ivf_pq_composition(spark):
     ]
     # all results come from the query's own planted cluster (ids 0..39)
     assert len(got) == 10 and all(v < 40 for v in got)
+
+
+def test_pq_fuzz_codes_and_adc_match_numpy(spark):
+    """Off-fixture parity: on random vectors (mixed scales, negatives,
+    zeros), the Spark encode must equal numpy's per-subspace argmin against
+    the SAME codebooks, and the JVM ADC expression must equal the numpy LUT
+    sum to float tolerance — catching any drift between the literal-array
+    lookup indexing and the codebook layout."""
+    import random as rnd
+
+    rng = rnd.Random(11)
+    dim, m, n_codes = 32, 8, 8
+    rows = []
+    for vid in range(120):
+        scale = rng.choice([0.01, 1.0, 50.0])
+        rows.append(
+            (vid, [rng.gauss(0, scale) for _ in range(dim)])
+        )
+    rows.append((120, [0.0] * dim))  # zero vector: norm 0 -> NULL score
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    model = pq.pq_fit(emb, "embedding", m=m, n_codes=n_codes, dim=dim)
+    enc = {
+        r["vec_id"]: r["pq_codes"]
+        for r in pq.pq_encode(emb, "embedding", model).collect()
+    }
+    cb = model.codebooks
+    sub = dim // m
+    E = {vid: np.asarray(v) for vid, v in rows}
+    for vid, v in E.items():
+        want = [
+            int(
+                ((cb[j] - v[j * sub : (j + 1) * sub]) ** 2)
+                .sum(axis=1)
+                .argmin()
+            )
+            for j in range(m)
+        ]
+        assert enc[vid] == want, vid
+
+    qvec = list(E[3])
+    got = {
+        r["vec_id"]: r["adc_cosine"]
+        for r in pq.pq_topk(
+            model,
+            pq.pq_encode(emb, "embedding", model),
+            "vec_id",
+            qvec,
+            k=121,
+        ).collect()
+    }
+    q = np.asarray(qvec)
+    qn = np.linalg.norm(q)
+    for vid, codes in enc.items():
+        recon = np.concatenate([cb[j][codes[j]] for j in range(m)])
+        rn = np.linalg.norm(recon)
+        if rn * qn > 0:
+            want = round(float(recon @ q / (rn * qn)), 4)
+            assert abs(got[vid] - want) <= 1e-3, (vid, got[vid], want)
