@@ -1257,3 +1257,63 @@ def c26_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_duplicate_lines(
         base, "doc_id", "text", max_line_df=3, line_sep="\n"
     )
+
+
+# --------------------------------------------------------------------------
+# B35 — lexical (BM25) corpus search
+# --------------------------------------------------------------------------
+
+_BM25_QUERY = ["hash", "join", "merge"]
+_BM25_K = 20
+
+
+@register(
+    "c27_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(LOWER(COALESCE(text, '')), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(LEN(t)) AS avgdl FROM toks),
+    postings AS (
+      SELECT doc_id, LEN(t) AS dl, term,
+             LEN(LIST_FILTER(t, x -> x = term)) AS tf
+      FROM toks
+      CROSS JOIN (SELECT UNNEST({_BM25_QUERY!r}) AS term) q
+      WHERE LIST_CONTAINS(t, term)
+    ),
+    dfs AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+    scored AS (
+      SELECT p.doc_id,
+             ROUND(SUM(LN(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * p.tf * (1.2 + 1)
+                       / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl))),
+                   4) AS score,
+             CAST(COUNT(*) AS INT) AS n_terms
+      FROM postings p JOIN dfs d USING (term) CROSS JOIN stats s
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, score, n_terms, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_BM25_K}
+    """,
+    survey_ref="§2 B35 lexical BM25 corpus search (Lucene idf formulation, "
+    "k1=1.2 b=0.75, query-term-filtered postings, deterministic top-k cut "
+    "on (rounded score, doc_id))",
+)
+def c27_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed bag-of-words query over documents — the
+    lexical retrieval counterpart of c6's vector top-k. Scale shape
+    (operators/search.py): postings filtered to query terms BEFORE the
+    (doc, term) aggregation so the only corpus-volume exchange carries
+    matching tokens; corpus stats and per-term df broadcast back; top-k is
+    TakeOrderedAndProject. The oracle replays the full formula — idf, tf
+    saturation, length norm, the 4-dp round, and the rank cut."""
+    from ..operators.search import bm25_topk
+
+    return bm25_topk(
+        _docs(spark, sf_dir).select("doc_id", "text"), _BM25_QUERY, _BM25_K
+    )

@@ -375,15 +375,29 @@ def b5_window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS revenue
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    UNION ALL
+    SELECT 'pivot' AS op, s AS o_orderstatus, o_orderpriority,
+           n, CAST(NULL AS DOUBLE) AS revenue
+    FROM (
+      SELECT o_orderpriority,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      FROM orders GROUP BY o_orderpriority
+    ) UNPIVOT (n FOR s IN (n_o AS 'O', n_f AS 'F', n_p AS 'P'))
     """,
-    survey_ref="§2 B6 rollup + cube + explicit GROUPING SETS, tagged so one "
-    "oracle checks all three grouping-extension operators",
+    survey_ref="§2 B6 rollup + cube + explicit GROUPING SETS + pivot (wide "
+    "conditional aggregation, explicit value list), tagged so one oracle "
+    "checks all four grouping-extension operators",
 )
 def b6_grouping_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three grouping extensions over the same fact. Each Expand+agg is
+    """All four grouping extensions over the same fact. Each Expand+agg is
     its own single-shuffle subplan; the union is append-only (no extra
     exchange). Grouping keys are low-cardinality, so partial aggregation
-    collapses each input partition to a handful of rows per set."""
+    collapses each input partition to a handful of rows per set. The
+    'pivot' branch runs a real groupBy().pivot() with an explicit value
+    list (single pass, no distinct-values pre-query) and is unpivoted back
+    to tagged rows only to share the pack schema."""
     orders = _t(spark, sf_dir, "orders")
     aggs = [
         F.count("*").alias("n"),
@@ -408,7 +422,23 @@ def b6_grouping_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
-    return rollup.unionByName(cube).unionByName(gsets)
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))  # pivot disallows the star form of count
+    )
+    pivot_branch = pivoted.select(
+        F.lit("pivot").alias("op"),
+        F.col("o_orderpriority"),
+        F.expr("stack(3, 'O', O, 'F', F, 'P', P) AS (o_orderstatus, n)"),
+    ).select(
+        "op",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.lit(None).cast("double").alias("revenue"),
+    )
+    return rollup.unionByName(cube).unionByName(gsets).unionByName(pivot_branch)
 
 
 # --------------------------------------------------------------------------

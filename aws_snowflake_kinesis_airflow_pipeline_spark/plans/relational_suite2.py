@@ -37,21 +37,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "b_pivot_status_by_priority",
-    oracle="""
-    SELECT o_orderpriority,
-           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
-           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
-           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
-    FROM orders
-    GROUP BY o_orderpriority
-    """,
-    survey_ref="§2 B6-adjacent pivot (wide conditional aggregation)",
-)
 def b_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot with explicit values — explicit value lists keep the plan a
-    single pass (no distinct-values pre-query) and fix output columns."""
+    single pass (no distinct-values pre-query) and fix output columns.
+
+    Unregistered since round 5: the driver-checked pivot now lives in
+    ``b6_grouping_pack``'s 'pivot' branch (same operator, shared oracle);
+    the wide-output form stays here as a library/bench specimen."""
     orders = _t(spark, sf_dir, "orders")
     pivoted = (
         orders.groupBy("o_orderpriority")
