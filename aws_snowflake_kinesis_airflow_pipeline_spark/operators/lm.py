@@ -1,0 +1,152 @@
+"""Count-based bigram language-model quality scoring (CCNet-style).
+
+The classic corpus-curation quality signal: train a small n-gram language
+model on the corpus itself, score every document by its mean per-bigram
+log-probability, and filter/bucket on the score (documents that the
+corpus-level LM finds surprising are disproportionately boilerplate,
+gibberish, or wrong-language).  This is the count-based, pure-Spark
+analogue of CCNet's KenLM perplexity filter — no external model, no
+Python in the row path.
+
+Model definition (deterministic, oracle-replayable):
+
+* Tokens: lowercased engine-wide whitespace tokenizer
+  (``functions/text.py``); NULL text tokenizes to ``[]``.
+* Vocabulary: the ``vocab_size`` most frequent tokens, ties broken by
+  token ascending.  Out-of-vocabulary tokens collapse to a single UNK
+  sentinel (``chr(1)``; a literal chr(1) token in the corpus would merge
+  with UNK — documented, and harmless for a quality signal).
+* Bigram probability, add-k smoothed::
+
+      p(w2 | w1) = (c(w1, w2) + k) / (c(w1) + k * (V + 1))
+
+  where ``c(w1)`` counts w1 as a bigram CONTEXT (all tokens but each
+  document's last) and ``V`` is the realized vocabulary size (+1 for UNK).
+* Document score: mean ln p over the document's bigrams, rounded to 4 dp
+  (engine-wide float-parity convention).  Documents with < 2 tokens have
+  no bigrams: ``lm_bigrams = 0``, ``lm_logprob = NULL``.
+
+Scale shape:
+
+* Model build is two aggregations over corpus bigrams (unigram counts for
+  the vocabulary, bigram/context counts for the model) — each a single
+  exchange with map-side combine carrying only (token(s), count) rows.
+* The UNK collapse bounds the model: ≤ (V+1)^2 bigram rows and ≤ V+1
+  context rows REGARDLESS of corpus size, so both scoring joins are
+  broadcast — scoring adds no exchange beyond the per-document aggregate.
+* The vocabulary itself is the only driver-side state: one bounded
+  collect of ≤ ``vocab_size`` strings (same pattern as
+  ``operators/packing.mix_corpus``'s per-source counts).
+* Bigram extraction is row-local (zip of the token array with its own
+  1-shifted slice — the ``word_shingles`` trick at k=2), no positional
+  explode + window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import tokens
+
+#: OOV sentinel. chr(1) survives whitespace tokenization unchanged in both
+#: engines (it is not whitespace), so Spark and the DuckDB oracle agree on
+#: the (documented) collision with a literal chr(1) corpus token.
+UNK = "\x01"
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 64,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus LM.
+
+    Returns one row per input document:
+    ``(id_col, lm_bigrams int, lm_logprob double | NULL)``.
+    """
+    if vocab_size < 1:
+        raise ValueError("bigram_lm_scores: vocab_size must be >= 1")
+
+    spark = docs.sparkSession
+    t = F.coalesce(
+        tokens(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+        F.array().cast("array<string>"),
+    )
+    toks = docs.select(F.col(id_col), t.alias("_t"))
+
+    # Vocabulary: top-V unigrams, (count desc, token asc). The collect is
+    # bounded by vocab_size — the operator's only driver-side state.
+    uni = (
+        toks.select(F.explode("_t").alias("_w"))
+        .groupBy("_w")
+        .agg(F.count("*").alias("_c"))
+    )
+    vocab = [
+        r["_w"]
+        for r in uni.orderBy(F.col("_c").desc(), F.col("_w").asc())
+        .limit(vocab_size)
+        .collect()
+    ]
+    n_vocab = len(vocab)
+    vdf = spark.createDataFrame([(w,) for w in vocab], "_v string")
+
+    # Row-local bigram pairs: zip the token array with its 1-shifted self.
+    n1 = F.greatest(F.size("_t") - 1, F.lit(0))
+    pairs = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice("_t", 1, n1).alias("w1"),
+                F.slice("_t", 2, n1).alias("w2"),
+            )
+        ).alias("_b"),
+    ).select(id_col, F.col("_b.w1").alias("_w1"), F.col("_b.w2").alias("_w2"))
+
+    # UNK collapse via two broadcast left joins against the tiny vocab.
+    # Materialized: the mapped pairs feed the bigram model, the context
+    # counts AND the scoring pass — without this the corpus scan + explode
+    # runs three times (Catalyst does not share the subtree).
+    mapped = (
+        pairs.join(F.broadcast(vdf.withColumnRenamed("_v", "_v1")),
+                   F.col("_w1") == F.col("_v1"), "left")
+        .join(F.broadcast(vdf.withColumnRenamed("_v", "_v2")),
+              F.col("_w2") == F.col("_v2"), "left")
+        .select(
+            id_col,
+            F.coalesce("_v1", F.lit(UNK)).alias("_w1"),
+            F.coalesce("_v2", F.lit(UNK)).alias("_w2"),
+        )
+        .localCheckpoint()
+    )
+
+    # Model tables — UNK-bounded (≤ (V+1)^2 / ≤ V+1 rows), hence broadcast.
+    model = mapped.groupBy("_w1", "_w2").agg(F.count("*").alias("_c12"))
+    ctx = mapped.groupBy("_w1").agg(F.count("*").alias("_c1"))
+
+    denom_k = float(add_k) * (n_vocab + 1)
+    scored = (
+        mapped.join(F.broadcast(model), ["_w1", "_w2"])
+        .join(F.broadcast(ctx), ["_w1"])
+        .select(
+            id_col,
+            F.log((F.col("_c12") + add_k) / (F.col("_c1") + denom_k)).alias("_lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("lm_bigrams"),
+            F.round(F.sum("_lp") / F.count("*"), 4).alias("lm_logprob"),
+        )
+    )
+
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("lm_bigrams", F.lit(0)).cast("int").alias("lm_bigrams"),
+            "lm_logprob",
+        )
+    )

@@ -465,8 +465,33 @@ def c16_near_dup_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id, text,
-             LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '') AS t
+             LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '') AS t,
+             LIST_FILTER(STRING_SPLIT_REGEX(LOWER(COALESCE(text, '')), '\\s+'),
+                         x -> x <> '') AS lt
       FROM documents
+    ),
+    uni AS (
+      SELECT u.w AS w, COUNT(*) AS c FROM toks, UNNEST(lt) AS u(w) GROUP BY 1
+    ),
+    vocab AS (SELECT w FROM uni ORDER BY c DESC, w LIMIT 64),
+    nv AS (SELECT COUNT(*) AS v FROM vocab),
+    bi AS (
+      SELECT doc_id,
+             CASE WHEN lt[i.i] IN (SELECT w FROM vocab)
+                  THEN lt[i.i] ELSE CHR(1) END AS w1,
+             CASE WHEN lt[i.i + 1] IN (SELECT w FROM vocab)
+                  THEN lt[i.i + 1] ELSE CHR(1) END AS w2
+      FROM toks, UNNEST(GENERATE_SERIES(1, LEN(lt) - 1)) AS i(i)
+    ),
+    mdl AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+    ctx AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+    lm AS (
+      SELECT b.doc_id,
+             CAST(COUNT(*) AS INT) AS lm_bigrams,
+             ROUND(SUM(LN((m.c12 + 0.5) / (x.c1 + 0.5 * (nv.v + 1))))
+                   / COUNT(*), 4) AS lm_logprob
+      FROM bi b JOIN mdl m USING (w1, w2) JOIN ctx x USING (w1) CROSS JOIN nv
+      GROUP BY 1
     )
     SELECT doc_id,
            LENGTH(text) AS n_chars,
@@ -495,20 +520,30 @@ def c16_near_dup_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
            + 0.3 * (CASE WHEN (LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) * 1.0
                      / GREATEST(LEN(t), 1))
                      BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END),
-           4) AS quality
-    FROM toks
+           4) AS quality,
+           COALESCE(lm.lm_bigrams, 0) AS lm_bigrams,
+           lm.lm_logprob AS lm_logprob
+    FROM toks LEFT JOIN lm USING (doc_id)
     """,
     survey_ref="§2 B13 pack: token counting (whitespace + BPE-ish regex), "
     "document fingerprinting (normalized content hash), Gopher-style "
-    "repetition signals (duplicate-word + top-word fractions), and quality "
-    "scoring (length/punct/stopword components + composite) — one per-doc "
-    "projection",
+    "repetition signals (duplicate-word + top-word fractions), quality "
+    "scoring (length/punct/stopword components + composite), and B36 "
+    "count-based bigram-LM quality score (CCNet-style perplexity signal: "
+    "add-k smoothed corpus bigram model, top-64 vocab with OOV collapse; "
+    "oracle rebuilds the model and replays every document's mean bigram "
+    "log-prob)",
 )
 def c8_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token counts, the normalized content fingerprint, and
-    the quality-score components — one projection, all JVM expressions."""
+    """Per-document token counts, the normalized content fingerprint, the
+    quality-score components (one projection, all JVM expressions) — plus
+    the corpus-level bigram-LM quality score joined per document
+    (operators/lm.py; the model is UNK-bounded so both scoring joins
+    broadcast)."""
+    from ..operators.lm import bigram_lm_scores
+
     docs = _docs(spark, sf_dir)
-    return docs.select(
+    feats = docs.select(
         "doc_id",
         F.length("text").alias("n_chars"),
         TX.token_count("text").alias("ws_tokens"),
@@ -520,6 +555,7 @@ def c8_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(TX.stopword_ratio("text"), 4).alias("stopword_ratio"),
         TX.quality_score("text").alias("quality"),
     )
+    return feats.join(bigram_lm_scores(docs, vocab_size=64), "doc_id")
 
 
 @register(

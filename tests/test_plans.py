@@ -268,6 +268,8 @@ def test_no_scale_killers_across_entire_registry(spark, sf_dir):
             # non-equi band join: explicit broadcast of the 3-row band dim,
             # the correct physical strategy for a bounded range dimension
             "b_range_join_price_bands",
+            # BM25: 1-row (N, avgdl) corpus-stats broadcast onto postings
+            "c27_bm25_search",
         ):
             bad.append("BroadcastNestedLoopJoin")
         if bad:
