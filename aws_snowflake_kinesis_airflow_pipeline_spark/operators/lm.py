@@ -123,8 +123,10 @@ def bigram_lm_scores(
     )
 
     # Model tables — UNK-bounded (≤ (V+1)^2 / ≤ V+1 rows), hence broadcast.
+    # Context counts roll up from the bigram model (c1 = Σ_w2 c12), so the
+    # corpus-sized mapped table is aggregated exactly once.
     model = mapped.groupBy("_w1", "_w2").agg(F.count("*").alias("_c12"))
-    ctx = mapped.groupBy("_w1").agg(F.count("*").alias("_c1"))
+    ctx = model.groupBy("_w1").agg(F.sum("_c12").alias("_c1"))
 
     denom_k = float(add_k) * (n_vocab + 1)
     scored = (
