@@ -1,0 +1,120 @@
+"""Deterministic training-shard export (operators/sharding.py).
+
+Pins: exact round-trip (union of shards == input), reproducible assignment
+across reruns/partitionings, seed-dependence (a new epoch is a new
+permutation), within-shard training order against the portable md5
+reference recomputed in Python, manifest verification (and that it catches
+corruption), and shard balance on uniform keys.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_snowflake_kinesis_airflow_pipeline_spark.operators.sharding import (
+    assign_shards,
+    read_manifest,
+    read_training_shard,
+    verify_shards,
+    write_training_shards,
+)
+
+N = 500
+SHARDS = 4
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(N).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+        (F.col("id") * 7 % 101).alias("payload"),
+    )
+
+
+def _md5_hash(seed, key):
+    # Python replay of sampling.shuffle_hash(portable=True): first 8 hex
+    # chars of md5("seed:key") as int64.
+    h = hashlib.md5(f"{seed}:{key}".encode()).hexdigest()
+    return int(h[:8], 16)
+
+
+def test_roundtrip_and_balance(spark, docs, tmp_path):
+    p = str(tmp_path / "shards")
+    write_training_shards(docs, p, "doc_id", SHARDS, seed=1)
+    back = [
+        sorted(
+            (r["doc_id"], r["payload"])
+            for r in read_training_shard(spark, p, s).collect()
+        )
+        for s in range(SHARDS)
+    ]
+    union = sorted(x for part in back for x in part)
+    assert union == sorted(
+        (r["doc_id"], r["payload"]) for r in docs.collect()
+    )
+    # No shard empty or wildly skewed on uniform unique keys.
+    sizes = [len(part) for part in back]
+    assert min(sizes) > N / SHARDS / 2 and max(sizes) < N / SHARDS * 2
+
+
+def test_assignment_deterministic_and_partition_invariant(spark, docs):
+    a = {
+        r["doc_id"]: (r["shard"], r["_order"])
+        for r in assign_shards(docs.coalesce(1), "doc_id", SHARDS, seed=9).collect()
+    }
+    b = {
+        r["doc_id"]: (r["shard"], r["_order"])
+        for r in assign_shards(docs.repartition(7), "doc_id", SHARDS, seed=9).collect()
+    }
+    assert a == b
+
+
+def test_new_seed_new_epoch(spark, docs):
+    a = {r["doc_id"]: r["shard"] for r in assign_shards(docs, "doc_id", SHARDS, 1).collect()}
+    b = {r["doc_id"]: r["shard"] for r in assign_shards(docs, "doc_id", SHARDS, 2).collect()}
+    assert a != b
+    assert set(a) == set(b)
+
+
+def test_training_order_matches_portable_reference(spark, docs, tmp_path):
+    p = str(tmp_path / "shards_portable")
+    write_training_shards(docs, p, "doc_id", SHARDS, seed=3, portable=True)
+    for s in range(SHARDS):
+        got = [r["doc_id"] for r in read_training_shard(spark, p, s).collect()]
+        want = sorted(got, key=lambda k: (_md5_hash(3, k), k))
+        assert got == want, f"shard {s} out of training order"
+        # And membership matches the portable hash's pmod assignment.
+        assert all(_md5_hash(3, k) % SHARDS == s for k in got)
+
+
+def test_manifest_counts_and_verify(spark, docs, tmp_path):
+    p = str(tmp_path / "shards_m")
+    write_training_shards(docs, p, "doc_id", SHARDS, seed=5)
+    man = read_manifest(spark, p)
+    assert man.agg(F.sum("n_rows")).first()[0] == N
+    assert {r["seed"] for r in man.select("seed").collect()} == {5}
+    chk = verify_shards(spark, p, "doc_id").collect()
+    assert len(chk) == SHARDS and all(r["ok"] for r in chk)
+
+
+def test_verify_catches_corruption(spark, docs, tmp_path):
+    p = str(tmp_path / "shards_bad")
+    write_training_shards(docs, p, "doc_id", SHARDS, seed=5)
+    # "Corrupt" one shard by rewriting it with a row dropped. Materialize
+    # first: writing over the directory a lazy plan still reads from races
+    # the scan against the overwrite.
+    rows = spark.read.parquet(f"{p}/data/shard=2").collect()
+    spark.createDataFrame(rows[1:], schema=spark.read.parquet(f"{p}/data/shard=2").schema).write.mode(
+        "overwrite"
+    ).parquet(f"{p}/data/shard=2")
+    chk = {r["shard"]: r["ok"] for r in verify_shards(spark, p, "doc_id").collect()}
+    assert chk[2] is False
+    assert all(ok for s, ok in chk.items() if s != 2)
+
+
+def test_n_shards_validation(spark, docs):
+    with pytest.raises(ValueError):
+        assign_shards(docs, "doc_id", 0)
