@@ -57,10 +57,30 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND c.ts > p.ts - INTERVAL '30 minutes'
     WHERE p.event_type = 'purchase' AND c.event_type = 'click'
     GROUP BY 1, 2, 3, 4
+    UNION ALL
+    SELECT 'trending' AS op, window_start, window_end, event_type, n FROM (
+      SELECT ws AS window_start,
+             ws + INTERVAL '1 hour' AS window_end,
+             event_type,
+             COUNT(*) AS n,
+             ROW_NUMBER() OVER (
+               PARTITION BY ws ORDER BY COUNT(*) DESC, event_type
+             ) AS rk
+      FROM (
+        SELECT UNNEST([
+          time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+          time_bucket(INTERVAL '30 minutes', ts)
+        ]) AS ws, event_type
+        FROM events
+      )
+      GROUP BY ws, event_type
+    ) WHERE rk <= 2
     """,
     survey_ref="§2 B14 tumbling (per event_type) + sliding (1h/30m) window "
-    "counts + §2 B31 stream-stream interval-join hourly rollup, tagged so "
-    "one oracle checks the batch twins of all three streaming operators",
+    "counts + §2 B31 stream-stream interval-join hourly rollup + §2 B38 "
+    "trending top-k (top-2 event types per sliding window, deterministic "
+    "(count desc, key asc) rank), tagged so one oracle checks the batch "
+    "twins of all four streaming operators",
 )
 def s1_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
@@ -85,7 +105,18 @@ def s1_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("purchase<-click").alias("event_type"),
         "n",
     )
-    return tumbling.unionByName(sliding).unionByName(joined)
+    trending = W.trending_topk(ev, k=2).select(
+        F.lit("trending").alias("op"),
+        "window_start",
+        "window_end",
+        "event_type",
+        "n",
+    )
+    return (
+        tumbling.unionByName(sliding)
+        .unionByName(joined)
+        .unionByName(trending)
+    )
 
 
 # The gaps-and-islands batch formulation (W.batch_sessions_gaps_and_islands)

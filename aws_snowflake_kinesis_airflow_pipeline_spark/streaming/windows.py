@@ -92,6 +92,82 @@ def session_counts(
     )
 
 
+def keyed_sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_size: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "10 minutes",
+    streaming: bool = True,
+) -> DataFrame:
+    """Per-(sliding window, key) counts — the state layer of trending
+    top-k (B38). Watermark-bounded like :func:`sliding_counts`; state is
+    one counter per live (window, key)."""
+    src = _with_watermark(events, ts_col, watermark) if streaming else events
+    return (
+        src.groupBy(F.window(ts_col, window_size, slide).alias("w"), key_col)
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def rank_trending(
+    counts: DataFrame, k: int, key_col: str = "event_type"
+) -> DataFrame:
+    """Top-k keys per window by (count desc, key asc) — the deterministic
+    finisher of trending top-k (B38).
+
+    Applied to BATCH frames only: an append-mode streaming aggregate
+    cannot host a rank (the rank of a window's keys isn't final until the
+    watermark closes the window). In a live pipeline this runs inside
+    foreachBatch over closed windows — exactly what the stream==batch
+    test composes. The per-window rank is a bounded window function: each
+    partition is one (window_start, window_end) group with ≤ |keys| rows.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start", "window_end").orderBy(
+        F.col("n").desc(), F.col(key_col).asc()
+    )
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def trending_topk(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_size: str = "1 hour",
+    slide: str = "30 minutes",
+    k: int = 3,
+) -> DataFrame:
+    """Batch twin of streaming trending top-k: the k most frequent keys in
+    every sliding window (B38). The streaming form is
+    ``keyed_sliding_counts(streaming=True)`` → :func:`rank_trending` over
+    each closed window."""
+    return rank_trending(
+        keyed_sliding_counts(
+            events,
+            ts_col,
+            key_col,
+            window_size,
+            slide,
+            streaming=False,
+        ),
+        k,
+        key_col,
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame,
     key_cols: list[str],

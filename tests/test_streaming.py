@@ -412,6 +412,57 @@ def test_sliding_stream_equals_batch(spark, tmp_path):
     assert got == want and len(want) > 2
 
 
+def test_trending_topk_stream_equals_batch(spark, tmp_path):
+    """B38: keyed sliding counts stream == batch, and the rank finisher
+    applied to the closed-window stream output equals the batch twin —
+    with the k-cut engaged (3 event types, only 2 survive per window)
+    and a count tie broken by key asc."""
+    rows, eid = [], 0
+    # Window [0:00, 1:00): 3x click, 2x view, 1x purchase -> top2 click, view.
+    # Window [1:00, 2:00): 2x view, 2x purchase, 1x click -> tie: purchase
+    # beats view on key asc only at equal counts... (purchase < view) both
+    # kept at k=2, click cut.
+    for minutes, et in (
+        (0, "click"), (5, "click"), (10, "click"), (15, "view"), (20, "view"),
+        (25, "purchase"),
+        (65, "view"), (70, "view"), (75, "purchase"), (80, "purchase"),
+        (85, "click"),
+    ):
+        rows.append((eid, BASE_TS + dt.timedelta(minutes=minutes), 1, et))
+        eid += 1
+    batch_df, stream_df = _streamable_events(spark, tmp_path, rows)
+
+    counts_stream = _run_complete(
+        W.keyed_sliding_counts(stream_df), "t_trend_counts"
+    )
+    got_counts = {
+        (r["window_start"], r["event_type"], r["n"])
+        for r in counts_stream.collect()
+    }
+    want_counts = {
+        (r["window_start"], r["event_type"], r["n"])
+        for r in W.keyed_sliding_counts(batch_df, streaming=False).collect()
+    }
+    assert got_counts == want_counts and len(want_counts) > 4
+
+    got_topk = {
+        (r["window_start"], r["event_type"], r["n"])
+        for r in W.rank_trending(counts_stream, k=2).collect()
+    }
+    want_topk = {
+        (r["window_start"], r["event_type"], r["n"])
+        for r in W.trending_topk(batch_df, k=2).collect()
+    }
+    assert got_topk == want_topk
+    # The cut is engaged: fewer ranked rows than raw (window, key) counts.
+    assert len(want_topk) < len(want_counts)
+    # Tie-break determinism: in the [1:00, 2:00) tumble-aligned window,
+    # view(2) and purchase(2) tie; both beat click(1); click is cut.
+    w1 = BASE_TS + dt.timedelta(hours=1)
+    keys_w1 = {et for ws, et, _ in want_topk if ws == w1}
+    assert keys_w1 == {"view", "purchase"}
+
+
 def test_session_stream_equals_batch_and_gaps_islands(spark, tmp_path):
     batch_df, stream_df = _streamable_events(spark, tmp_path, _mk_rows())
     got = {
