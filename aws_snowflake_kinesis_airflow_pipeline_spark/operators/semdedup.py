@@ -1,0 +1,119 @@
+"""SemDeDup — cluster-scoped semantic deduplication of embeddings.
+
+The SemDeDup recipe (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+at web-scale through semantic deduplication", arXiv:2303.09540): k-means
+the embedding space, then look for duplicate pairs only WITHIN each
+cluster — semantically identical points land in the same cell, so the
+quadratic pair search runs per-cell instead of corpus-wide. This is the
+third member of the engine's embedding-dedup family and covers a different
+trade-off than the other two:
+
+* ``dedup.embedding_near_dups`` (hyperplane LSH): sub-quadratic candidate
+  generation, recall set by the banding S-curve.
+* ``operators/incremental`` (persisted LSH index): streaming arrivals.
+* this module: exact WITHIN-CLUSTER recall at a chosen clustering
+  granularity — the published recipe for curating web-scale pretraining
+  corpora, where a bounded per-cluster matmul is cheaper than tuning LSH.
+
+Scale shape: centroids come from ``similarity.ivf_index`` (bounded-sample
+driver fit, one Arrow-batched assignment pass); the per-cluster pairwise
+search is ``applyInPandas`` over the cluster key — one exchange, then an
+O(m²/2) numpy matmul per cell. The m² is the SemDeDup design point, made
+safe by ``max_cluster_rows``: oversized cells raise instead of silently
+OOMing — at corpus scale you raise ``n_clusters`` (the paper runs 50k
+clusters for 5B points) so cells stay bounded.
+
+Exact-duplicate recall is structural, not probabilistic: assignment is a
+deterministic function of the vector, so identical vectors ALWAYS share a
+cell and are always found. Near-duplicates straddling a Voronoi boundary
+can be missed — inherent to the method and measured in tests against the
+brute-force all-pairs ground truth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import connected_components
+from .similarity import ivf_index
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    max_cluster_rows: int = 100_000,
+) -> DataFrame:
+    """Duplicate pairs (id1 < id2, cosine) found within k-means cells.
+
+    Cosine is rounded to 4 dp (engine-wide float-parity convention).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("semantic_dedup_pairs: threshold must be in (0, 1]")
+    _, indexed = ivf_index(
+        df.select(id_col, vec_col), vec_col, n_clusters, seed=seed
+    )
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m > max_cluster_rows:
+            raise RuntimeError(
+                f"semantic_dedup_pairs: cluster has {m} rows > "
+                f"max_cluster_rows={max_cluster_rows}; raise n_clusters "
+                "so the per-cell pairwise search stays bounded"
+            )
+        if m < 2:
+            return pd.DataFrame({"id1": [], "id2": [], "cosine": []})
+        ids = pdf[id_col].to_numpy()
+        v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(v, axis=1)
+        norms[norms == 0.0] = 1.0  # zero vectors match nothing (cos 0)
+        vn = v / norms[:, None]
+        sims = vn @ vn.T
+        iu, ju = np.triu_indices(m, k=1)
+        keep = np.round(sims[iu, ju], 4) >= threshold
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {
+                "id1": lo,
+                "id2": hi,
+                "cosine": np.round(sims[iu, ju][keep], 4),
+            }
+        )
+
+    return (
+        indexed.groupBy("ivf_cluster")
+        .applyInPandas(per_cluster, "id1 long, id2 long, cosine double")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    max_cluster_rows: int = 100_000,
+) -> DataFrame:
+    """SemDeDup survivors: one representative (min id) per duplicate
+    component; rows in no duplicate pair survive untouched. Returns the
+    input rows minus dropped duplicates."""
+    pairs = semantic_dedup_pairs(
+        df, id_col, vec_col, n_clusters, threshold, seed, max_cluster_rows
+    )
+    comp = connected_components(pairs)
+    dropped = (
+        comp.groupBy("component")
+        .agg(F.min("id").alias("_keep"))
+        .join(comp, "component")
+        .filter(F.col("id") != F.col("_keep"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(dropped, id_col, "left_anti")
