@@ -343,3 +343,136 @@ def test_lsh_ann_topk_matches_duckdb_on_random_vectors(spark):
     con.register("embeddings", pdf)
     want = [(r[0], r[1]) for r in con.execute(_LSH_TOPK_SQL).fetchall()]
     assert got == want
+
+
+def test_bigram_lm_matches_duckdb_on_random_strings(spark):
+    """B36: the bigram-LM score must agree with the DuckDB model replay on
+    random hostile docs — including whitespace soup, CJK, empty docs and a
+    vocab cut small enough that the UNK collapse is heavily engaged."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.lm import (
+        bigram_lm_scores,
+    )
+
+    docs = _random_docs(250, seed=13)
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    sdf = spark.createDataFrame(pdf)
+    vocab_size = 12  # tiny on purpose: most tokens collapse to UNK
+    got = (
+        bigram_lm_scores(sdf, vocab_size=vocab_size)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.sql(
+        f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 LIST_FILTER(STRING_SPLIT_REGEX(LOWER(COALESCE(text, '')),
+                                                '\\s+'),
+                             x -> x <> '') AS lt
+          FROM documents
+        ),
+        uni AS (
+          SELECT u.w AS w, COUNT(*) AS c
+          FROM toks, UNNEST(lt) AS u(w) GROUP BY 1
+        ),
+        vocab AS (SELECT w FROM uni ORDER BY c DESC, w LIMIT {vocab_size}),
+        nv AS (SELECT COUNT(*) AS v FROM vocab),
+        bi AS (
+          SELECT doc_id,
+                 CASE WHEN lt[i.i] IN (SELECT w FROM vocab)
+                      THEN lt[i.i] ELSE CHR(1) END AS w1,
+                 CASE WHEN lt[i.i + 1] IN (SELECT w FROM vocab)
+                      THEN lt[i.i + 1] ELSE CHR(1) END AS w2
+          FROM toks, UNNEST(GENERATE_SERIES(1, LEN(lt) - 1)) AS i(i)
+        ),
+        mdl AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+        ctx AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+        lm AS (
+          SELECT b.doc_id, CAST(COUNT(*) AS INT) AS lm_bigrams,
+                 ROUND(SUM(LN((m.c12 + 0.5) / (x.c1 + 0.5 * (nv.v + 1))))
+                       / COUNT(*), 4) AS lm_logprob
+          FROM bi b JOIN mdl m USING (w1, w2) JOIN ctx x USING (w1)
+          CROSS JOIN nv GROUP BY 1
+        )
+        SELECT d.doc_id, COALESCE(lm.lm_bigrams, 0) AS lm_bigrams,
+               lm.lm_logprob
+        FROM documents d LEFT JOIN lm USING (doc_id) ORDER BY d.doc_id
+        """
+    ).df().set_index("doc_id").sort_index()
+
+    assert (got["lm_bigrams"] == want["lm_bigrams"]).all(), (
+        got["lm_bigrams"].compare(want["lm_bigrams"]).head()
+    )
+    both = got["lm_logprob"].notna() & want["lm_logprob"].notna()
+    assert (got["lm_logprob"].isna() == want["lm_logprob"].isna()).all()
+    diff = (got["lm_logprob"][both] - want["lm_logprob"][both]).abs()
+    assert len(diff) > 50 and diff.max() <= 2e-4, (
+        diff.idxmax(), docs[diff.idxmax()]
+    )
+
+
+def test_bm25_matches_duckdb_on_random_strings(spark):
+    """B35: BM25 scores and the deterministic top-k cut must agree with the
+    DuckDB formula replay on random docs and a query that mixes common and
+    rare terms."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.search import (
+        bm25_topk,
+    )
+
+    docs = _random_docs(250, seed=29)
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    sdf = spark.createDataFrame(pdf)
+    terms = ["cat", "mat", "the"]
+    k = 25
+    got = (
+        bm25_topk(sdf, terms, k)
+        .toPandas()
+        .set_index("rank")
+        .sort_index()
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.sql(
+        f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 LIST_FILTER(STRING_SPLIT_REGEX(LOWER(COALESCE(text, '')),
+                                                '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        stats AS (SELECT COUNT(*) AS n_docs, AVG(LEN(t)) AS avgdl FROM toks),
+        postings AS (
+          SELECT doc_id, LEN(t) AS dl, term,
+                 LEN(LIST_FILTER(t, x -> x = term)) AS tf
+          FROM toks
+          CROSS JOIN (SELECT UNNEST({terms!r}) AS term) q
+          WHERE LIST_CONTAINS(t, term)
+        ),
+        dfs AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+        scored AS (
+          SELECT p.doc_id,
+                 ROUND(SUM(LN(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                           * p.tf * (1.2 + 1)
+                           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl))),
+                       4) AS score,
+                 CAST(COUNT(*) AS INT) AS n_terms
+          FROM postings p JOIN dfs d USING (term) CROSS JOIN stats s
+          GROUP BY p.doc_id
+        )
+        SELECT doc_id, score, n_terms, CAST(rank AS INT) AS rank FROM (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+          FROM scored
+        ) WHERE rank <= {k} ORDER BY rank
+        """
+    ).df().set_index("rank").sort_index()
+
+    assert len(got) == len(want) > 10
+    assert (got["doc_id"] == want["doc_id"]).all(), (
+        got["doc_id"].compare(want["doc_id"]).head()
+    )
+    assert (got["n_terms"] == want["n_terms"]).all()
+    assert (got["score"] - want["score"]).abs().max() <= 2e-4
