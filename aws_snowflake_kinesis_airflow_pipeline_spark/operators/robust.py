@@ -1,0 +1,70 @@
+"""Robust per-group anomaly statistics: median / MAD / outlier counts.
+
+Data-quality monitoring over a fact column — the robust (breakdown-point
+0.5) alternative to mean±kσ, which a single corrupt batch can drag
+arbitrarily far. ``|x - median| > z * MAD`` is the classic robust outlier
+rule; pipelines run it per group (event type, source, day) to flag feeds
+whose value distribution shifted.
+
+Shape: exact MAD is inherently two dependent aggregation passes (the
+median must exist before deviations from it can be ranked) plus one
+counting pass — three scans of the fact, each a single-exchange grouped
+aggregate, with the tiny per-group stats tables broadcast back between
+passes. At 100 TB swap ``F.percentile`` for ``approx_percentile`` (GK
+digest, mergeable, memory-bounded) — same three-pass structure, same
+error-band-oracle pattern as ``b8_stats_pack``'s sketches.
+
+Cross-engine determinism of the outlier COUNT: a strict ``>`` on computed
+doubles can flip on engine ulp differences when a point lands exactly on
+the threshold. Callers comparing against a DuckDB oracle pass ``eps`` =
+half the value grid (e.g. 0.0025 for 2-decimal money): deviations and
+thresholds both live on that grid, so every decision clears the boundary
+by ≥ eps, orders of magnitude above fp noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def grouped_mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    z: float = 3.0,
+    eps: float = 0.0,
+) -> DataFrame:
+    """Per-group (median, mad, n_outliers) where an outlier is
+    ``|x - median| > z * mad + eps``. NULL values are ignored (neither
+    ranked nor counted). median/mad are rounded to 4 dp in the output;
+    the outlier rule uses full precision plus ``eps``.
+    """
+    v = F.col(value_col)
+    med = df.groupBy(*group_cols).agg(
+        F.percentile(v, F.lit(0.5)).alias("_med")
+    )
+    mad = (
+        df.join(F.broadcast(med), group_cols)
+        .groupBy(*group_cols)
+        .agg(F.percentile(F.abs(v - F.col("_med")), F.lit(0.5)).alias("_mad"))
+    )
+    stats = med.join(mad, group_cols)
+    counted = (
+        df.join(F.broadcast(stats), group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(
+                F.when(
+                    F.abs(v - F.col("_med")) > z * F.col("_mad") + eps, 1
+                )
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return stats.join(counted, group_cols).select(
+        *group_cols,
+        F.round("_med", 4).alias("median"),
+        F.round("_mad", 4).alias("mad"),
+        "n_outliers",
+    )

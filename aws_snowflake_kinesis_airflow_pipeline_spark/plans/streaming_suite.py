@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.robust import grouped_mad_outliers
 from ..streaming import joins as J
 from ..streaming import windows as W
 from .registry import register
@@ -23,6 +24,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s1_window_counts",
     oracle="""
+    WITH vmed AS (
+      SELECT event_type, QUANTILE_CONT(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    vmad AS (
+      SELECT e.event_type,
+             QUANTILE_CONT(ABS(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN vmed m USING (event_type) GROUP BY 1
+    )
     SELECT 'tumbling' AS op,
            DATE_TRUNC('hour', ts) AS window_start,
            DATE_TRUNC('hour', ts) + INTERVAL '1 hour' AS window_end,
@@ -75,12 +85,23 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
       GROUP BY ws, event_type
     ) WHERE rk <= 2
+    UNION ALL
+    SELECT 'mad_outliers' AS op,
+           CAST(NULL AS TIMESTAMP) AS window_start,
+           CAST(NULL AS TIMESTAMP) AS window_end,
+           e.event_type,
+           COUNT(*) FILTER (WHERE ABS(e.value - m.med) > 3 * d.mad) AS n
+    FROM events e JOIN vmed m USING (event_type)
+                  JOIN vmad d USING (event_type)
+    GROUP BY e.event_type
     """,
     survey_ref="§2 B14 tumbling (per event_type) + sliding (1h/30m) window "
     "counts + §2 B31 stream-stream interval-join hourly rollup + §2 B38 "
     "trending top-k (top-2 event types per sliding window, deterministic "
-    "(count desc, key asc) rank), tagged so one oracle checks the batch "
-    "twins of all four streaming operators",
+    "(count desc, key asc) rank) + §2 B40 robust anomaly detection "
+    "(per-event-type |value - median| > 3*MAD outlier counts, ~11% of "
+    "rows on the heavy-tailed value column — non-vacuous), tagged so one "
+    "oracle checks the batch twins of all five operators",
 )
 def s1_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
@@ -112,10 +133,21 @@ def s1_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
     )
+    # Robust anomaly counts on the continuous value column (eps guard not
+    # needed off a value grid: a count flip would need a point within fp
+    # noise of the 3*MAD threshold, measure-zero for continuous doubles).
+    outliers = grouped_mad_outliers(ev, ["event_type"], "value", z=3.0).select(
+        F.lit("mad_outliers").alias("op"),
+        F.lit(None).cast("timestamp_ntz").alias("window_start"),
+        F.lit(None).cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        F.col("n_outliers").alias("n"),
+    )
     return (
         tumbling.unionByName(sliding)
         .unionByName(joined)
         .unionByName(trending)
+        .unionByName(outliers)
     )
 
 
