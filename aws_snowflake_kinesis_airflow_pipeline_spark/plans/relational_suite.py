@@ -19,7 +19,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, register_views
-from ..operators.robust import grouped_mad_outliers
 from .registry import register
 
 
@@ -505,16 +504,7 @@ def b7_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "b8_stats_pack",
     oracle="""
-    WITH med AS (
-      SELECT l_returnflag, QUANTILE_CONT(l_extendedprice, 0.5) AS med
-      FROM lineitem GROUP BY 1
-    ),
-    mad AS (
-      SELECT l.l_returnflag,
-             QUANTILE_CONT(ABS(l.l_extendedprice - m.med), 0.5) AS mad
-      FROM lineitem l JOIN med m USING (l_returnflag) GROUP BY 1
-    )
-    SELECT l.l_returnflag,
+    SELECT l_returnflag,
            COUNT(DISTINCT l_partkey) AS n_parts,
            COUNT(DISTINCT l_suppkey) AS n_supps,
            ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
@@ -524,19 +514,19 @@ def b7_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS median_price,
            ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_price,
            TRUE AS approx_pctl_within_1pct,
-           TRUE AS hll_parts_within_5pct,
-           ROUND(ANY_VALUE(d.mad), 4) AS mad_price
-    FROM lineitem l JOIN mad d USING (l_returnflag)
-    GROUP BY l.l_returnflag
+           TRUE AS hll_parts_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
     """,
     survey_ref="§2 B8 exact COUNT(DISTINCT) + statistical aggregates "
     "(stddev/var/corr/covar) + exact interpolated percentiles, one "
     "grouping; plus both bounded-memory sketches pinned in error bands: "
     "approx_percentile (GK digest, 1% of exact) and "
-    "approx_count_distinct (HLL, 5% of the exact distinct count); plus "
-    "the B40 robust-statistics MAD value pinned exactly (the non-vacuous "
-    "outlier COUNT rides the events-based s1 pack — lineitem prices are "
-    "near-uniform, so a 3*MAD rule correctly fires zero times here)",
+    "approx_count_distinct (HLL, 5% of the exact distinct count). "
+    "B40's MAD briefly rode this pack as an exact-percentile column; "
+    "reverted after the sf10 sitting showed it tripling the pack (two "
+    "more exact-percentile passes over the fact — this docstring's own "
+    "scale warning). The driver check for B40 is the s1 events branch.",
 )
 def b8_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact-aggregate family over one grouping, as two aggregates
@@ -612,12 +602,6 @@ def b8_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("approx_pctl_within_1pct"),
     )
-    # B40 robust-statistics branch: the MAD value is pinned exactly here;
-    # the outlier COUNT would be vacuous on near-uniform prices (3*MAD
-    # exceeds every deviation) so it rides the events pack instead.
-    mad = grouped_mad_outliers(
-        li, ["l_returnflag"], "l_extendedprice", z=3.0
-    ).select("l_returnflag", F.col("mad").alias("mad_price"))
     return (
         distincts.join(moments, "l_returnflag")
         .join(F.broadcast(hll), "l_returnflag")
@@ -627,7 +611,6 @@ def b8_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05,
         )
         .drop("_hll_parts")
-        .join(F.broadcast(mad), "l_returnflag")
     )
 
 
