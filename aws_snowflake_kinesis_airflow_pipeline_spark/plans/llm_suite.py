@@ -396,7 +396,14 @@ def c15_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding"
         ]
     ]
-    model, indexed = similarity.ivf_index(emb, "embedding", n_clusters=8)
+    # 20k-row fit samples: 8 IVF centroids / 16-code-per-4-dim PQ books
+    # converge far below that, and the orderBy(hash).limit sample draw
+    # ships max_fit_rows rows PER PARTITION to the driver merge — at sf10
+    # the 100k default made the two fits 23 s of a 27 s query (A/B in
+    # BASELINE.md round-5 notes).
+    model, indexed = similarity.ivf_index(
+        emb, "embedding", n_clusters=8, max_fit_rows=20_000
+    )
     ivf = similarity.ivf_topk(
         model,
         indexed,
@@ -407,7 +414,9 @@ def c15_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=3,
         exclude_ids=[_QUERY_VEC_ID],
     ).select(F.lit("ivf").alias("op"), "vec_id", F.col("cosine").alias("score"))
-    pq_model = pq.pq_fit(emb, "embedding", m=16, n_codes=16, dim=64)
+    pq_model = pq.pq_fit(
+        emb, "embedding", m=16, n_codes=16, dim=64, max_fit_rows=20_000
+    )
     encoded = pq.pq_encode(emb, "embedding", pq_model)
     quant = pq.pq_topk(
         pq_model,
