@@ -60,14 +60,58 @@ def interval_join_pairs(
         right = right.withColumn(
             "right_ts", F.col("right_ts").cast("timestamp")
         ).withWatermark("right_ts", watermark)
+        cond = (
+            (left["user_id"] == right["r_user_id"])
+            & (right["right_ts"] <= left["left_ts"])
+            & (
+                right["right_ts"]
+                > left["left_ts"] - F.expr(f"INTERVAL {max_lag}")
+            )
+        )
+        return left.join(right, cond, "inner").select(
+            "user_id", "left_id", "left_ts", "right_id", "right_ts"
+        )
+    # Batch twin: OSS Spark has no range-join optimization, so a plain
+    # (user == user AND ts-range) join sort-merges on user_id alone and
+    # filters the range AFTER pairing — per-user QUADRATIC in history
+    # length (13.6 s of s1's sf10 cost was this join). Bucketing both
+    # sides into lag-width time buckets and joining on
+    # (user, bucket ∈ {same, next}) keeps candidates temporally local:
+    # a qualifying right event lands in the left's bucket or the one
+    # before, so each right row is emitted into {b, b+1} and the equi-join
+    # on (user, bucket) covers every qualifying pair exactly once (the two
+    # tags can't both equal the left bucket). Same results, one equi-join,
+    # candidate volume O(events per user-bucket pair) instead of
+    # O(events per user)^2.
+    lag_sec = _interval_seconds(max_lag)
+    lbucket = F.floor(F.unix_timestamp(left["left_ts"]) / lag_sec)
+    rbucket = F.floor(F.unix_timestamp(right["right_ts"]) / lag_sec)
+    left_b = left.withColumn("_b", lbucket)
+    right_b = right.withColumn(
+        "_b", F.explode(F.array(rbucket, rbucket + 1))
+    )
     cond = (
-        (left["user_id"] == right["r_user_id"])
-        & (right["right_ts"] <= left["left_ts"])
-        & (right["right_ts"] > left["left_ts"] - F.expr(f"INTERVAL {max_lag}"))
+        (left_b["user_id"] == right_b["r_user_id"])
+        & (left_b["_b"] == right_b["_b"])
+        & (right_b["right_ts"] <= left_b["left_ts"])
+        & (
+            right_b["right_ts"]
+            > left_b["left_ts"] - F.expr(f"INTERVAL {max_lag}")
+        )
     )
-    return left.join(right, cond, "inner").select(
-        "user_id", "left_id", "left_ts", "right_id", "right_ts"
+    return left_b.join(right_b, cond, "inner").select(
+        left_b["user_id"], "left_id", "left_ts", "right_id", "right_ts"
     )
+
+
+_UNITS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _interval_seconds(spec: str) -> int:
+    """'30 minutes' / '1 hour' -> seconds (the subset of INTERVAL syntax
+    the bucketing path supports)."""
+    n, unit = spec.strip().split()
+    return int(n) * _UNITS[unit.rstrip("s").lower()]
 
 
 def interval_join_hourly_counts(
