@@ -476,3 +476,58 @@ def test_bm25_matches_duckdb_on_random_strings(spark):
     )
     assert (got["n_terms"] == want["n_terms"]).all()
     assert (got["score"] - want["score"]).abs().max() <= 2e-4
+
+
+def test_bucketed_interval_join_matches_naive_on_random_events(spark):
+    """B31: the lag-width bucketing rewrite of the batch interval join
+    must emit EXACTLY the pairs of the naive (equi + range filter) form —
+    fuzzed on random timestamps including exact-boundary lags (ts
+    differences of exactly 0 and exactly max_lag) and bucket-edge
+    alignments."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from aws_snowflake_kinesis_airflow_pipeline_spark.streaming.joins import (
+        interval_join_pairs,
+    )
+
+    rng = random.Random(43)
+    base = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for _ in range(600):
+        u = rng.randint(1, 12)
+        # Mix of uniform offsets and exact multiples of the 30-min lag /
+        # bucket width so boundary and bucket-edge cases are hit.
+        sec = rng.choice(
+            [rng.randint(0, 86_400), rng.randint(0, 48) * 1800, 0, 1800, 3600]
+        )
+        et = rng.choice(["purchase", "click", "view"])
+        rows.append((eid, base + dt.timedelta(seconds=sec), u, et))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+
+    bucketed = {
+        (r["user_id"], r["left_id"], r["right_id"])
+        for r in interval_join_pairs(ev, streaming=False).collect()
+    }
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("left_id"), F.col("ts").alias("lts")
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("ru"), F.col("event_id").alias("right_id"),
+        F.col("ts").alias("rts"),
+    )
+    naive = {
+        (r["user_id"], r["left_id"], r["right_id"])
+        for r in left.join(
+            right,
+            (left["user_id"] == right["ru"])
+            & (right["rts"] <= left["lts"])
+            & (right["rts"] > left["lts"] - F.expr("INTERVAL 30 minutes")),
+            "inner",
+        ).collect()
+    }
+    assert bucketed == naive and len(naive) > 100
