@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.event_funnel import funnel_conversion
 from ..operators.robust import grouped_mad_outliers
 from ..streaming import joins as J
 from ..streaming import windows as W
@@ -32,6 +33,24 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.event_type,
              QUANTILE_CONT(ABS(e.value - m.med), 0.5) AS mad
       FROM events e JOIN vmed m USING (event_type) GROUP BY 1
+    ),
+    f1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    f2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN f1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > f1.t1
+        AND e.ts <= f1.t1 + INTERVAL '1 hour'
+      GROUP BY 1
+    ),
+    f3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN f1 USING (user_id) JOIN f2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > f2.t2
+        AND e.ts <= f1.t1 + INTERVAL '1 hour'
+      GROUP BY 1
     )
     SELECT 'tumbling' AS op,
            DATE_TRUNC('hour', ts) AS window_start,
@@ -94,14 +113,29 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events e JOIN vmed m USING (event_type)
                   JOIN vmad d USING (event_type)
     GROUP BY e.event_type
+    UNION ALL
+    SELECT 'funnel' AS op,
+           CAST(NULL AS TIMESTAMP) AS window_start,
+           CAST(NULL AS TIMESTAMP) AS window_end,
+           s.step AS event_type,
+           s.n
+    FROM (
+      SELECT 'view' AS step, (SELECT COUNT(*) FROM f1) AS n
+      UNION ALL
+      SELECT 'click', (SELECT COUNT(*) FROM f2)
+      UNION ALL
+      SELECT 'purchase', (SELECT COUNT(*) FROM f3)
+    ) s
     """,
     survey_ref="§2 B14 tumbling (per event_type) + sliding (1h/30m) window "
     "counts + §2 B31 stream-stream interval-join hourly rollup + §2 B38 "
     "trending top-k (top-2 event types per sliding window, deterministic "
     "(count desc, key asc) rank) + §2 B40 robust anomaly detection "
     "(per-event-type |value - median| > 3*MAD outlier counts, ~11% of "
-    "rows on the heavy-tailed value column — non-vacuous), tagged so one "
-    "oracle checks the batch twins of all five operators",
+    "rows on the heavy-tailed value column — non-vacuous) + §2 B43 "
+    "ordered funnel conversion (view→click→purchase within 1h, "
+    "greedy-earliest, strictly-ordered, per-user min-time chain), tagged "
+    "so one oracle checks the batch twins of all six operators",
 )
 def s1_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
@@ -143,11 +177,21 @@ def s1_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n_outliers").alias("n"),
     )
+    funnel = funnel_conversion(
+        ev, ["view", "click", "purchase"], within="1 hour"
+    ).select(
+        F.lit("funnel").alias("op"),
+        F.lit(None).cast("timestamp_ntz").alias("window_start"),
+        F.lit(None).cast("timestamp_ntz").alias("window_end"),
+        F.col("step").alias("event_type"),
+        F.col("n_users").alias("n"),
+    )
     return (
         tumbling.unionByName(sliding)
         .unionByName(joined)
         .unionByName(trending)
         .unionByName(outliers)
+        .unionByName(funnel)
     )
 
 
