@@ -138,6 +138,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so one oracle checks the batch twins of all six operators",
 )
 def s1_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-branch events pack. Scale note on the MAD branch: the oracle
+    pairing requires EXACT percentiles, whose merge state is unbounded in
+    distinct values per group; at true corpus scale the production form is
+    ``grouped_mad_outliers`` with ``approx_percentile`` (documented in
+    operators/robust.py) and an error-band check, exactly like b8's
+    sketch booleans."""
     ev = _events(spark, sf_dir)
     tumbling = W.tumbling_counts(ev, streaming=False).select(
         F.lit("tumbling").alias("op"),
