@@ -259,3 +259,69 @@ def test_redaction_leaves_no_residual_pii(spark, text):
         .first()
     )
     assert (row["e"], row["p"], row["i"]) == (0, 0, 0)
+
+
+# --- round-5 operators -----------------------------------------------------
+
+shard_keys = st.lists(
+    st.text(st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=12),
+    min_size=1,
+    max_size=60,
+    unique=True,
+)
+
+
+@given(keys=shard_keys, n_shards=st.integers(1, 5), seed=st.integers(0, 3))
+@SETTINGS
+def test_shard_assignment_partitions_the_corpus(spark, keys, n_shards, seed):
+    """B37: shard assignment is a total function — every key lands in
+    exactly one shard in [0, N), invariant to input partitioning."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.sharding import (
+        assign_shards,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    a = {
+        r["k"]: r["shard"]
+        for r in assign_shards(df.coalesce(1), "k", n_shards, seed).collect()
+    }
+    b = {
+        r["k"]: r["shard"]
+        for r in assign_shards(df.repartition(5), "k", n_shards, seed).collect()
+    }
+    assert a == b
+    assert set(a) == set(keys)
+    assert all(0 <= s < n_shards for s in a.values())
+
+
+doc_texts = st.lists(
+    st.text(
+        st.sampled_from("ab c\t\nXY.é中"),
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(texts=doc_texts)
+@SETTINGS
+def test_encode_decode_roundtrip_property(spark, texts):
+    """B42: with a vocabulary large enough to hold every corpus token,
+    decode(encode(doc)) == whitespace-normalized lowercased doc, and
+    n_oov == 0 — for ARBITRARY text including whitespace runs, CJK and
+    empty docs."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.encoding import (
+        build_vocab,
+        decode_ids,
+        encode_documents,
+    )
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = build_vocab(df, vocab_size=10_000)
+    enc = encode_documents(df, vocab)
+    assert enc.agg(F.sum("n_oov")).first()[0] in (0, None)
+    back = {r["doc_id"]: r["text"] for r in decode_ids(enc, vocab).collect()}
+    for i, t in rows:
+        assert back[i] == " ".join(t.lower().split()), repr(t)
