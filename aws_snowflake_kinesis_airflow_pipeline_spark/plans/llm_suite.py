@@ -701,7 +701,8 @@ def ffd_oracle_sql(docs_cte: str, n_part: int, budget: int) -> str:
       FROM ffd f JOIN ordered o ON o.part = f.part AND o.rn = f.rn
       WHERE f.rn >= 1
     )
-    SELECT pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens
+    SELECT pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
     FROM assigned GROUP BY pack_id ORDER BY pack_id
 """
 
@@ -1165,13 +1166,13 @@ def c24_embedding_quant_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                   CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT) AS hh
       FROM t
     )
-    SELECT 'cap' AS branch, source, doc_id, rk AS pos FROM (
+    SELECT 'cap' AS branch, source, doc_id, CAST(rk AS BIGINT) AS pos FROM (
       SELECT doc_id, source,
              ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk
       FROM h
     ) WHERE rk <= 15
     UNION ALL
-    SELECT 'budget', source, doc_id, cw FROM (
+    SELECT 'budget', source, doc_id, CAST(cw AS BIGINT) FROM (
       SELECT doc_id, source,
              SUM(n_tok) OVER (
                PARTITION BY source ORDER BY hh, doc_id
