@@ -94,7 +94,7 @@ def char_shingles(col: Column | str, k: int = 5) -> Column:
     a word shingle would be one giant token and the document would silently
     vanish from every dedup/similarity signal. Pure array expression
     (sequence of offsets -> substr), no explode, no UDF."""
-    c = normalize_text(col)
+    c = fingerprint_normalize(col)
     n = F.length(c)
     grams = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
@@ -119,9 +119,11 @@ def adaptive_shingles(
     )
 
 
-def normalize_text(col: Column | str) -> Column:
+def fingerprint_normalize(col: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace,
-    trim."""
+    trim. (Distinct from functions/normalize.py::normalize_text, the NFKC
+    unicode-cleaning pack — this one is the lossy shingle/fingerprint key.)
+    """
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(F.regexp_replace(F.lower(c), TOKEN_SPLIT_RE, " "))
 
@@ -132,7 +134,7 @@ def doc_fingerprint(col: Column | str) -> Column:
     md5 keeps the oracle trivially expressible; xxhash64 is the cheaper
     in-engine alternative when cross-engine parity isn't needed.
     """
-    return F.md5(normalize_text(col))
+    return F.md5(fingerprint_normalize(col))
 
 
 def punct_ratio(col: Column | str) -> Column:

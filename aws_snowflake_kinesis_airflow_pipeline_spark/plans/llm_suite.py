@@ -1363,3 +1363,61 @@ def c27_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         _docs(spark, sf_dir).select("doc_id", "text"), _BM25_QUERY, _BM25_K
     )
+
+
+# --------------------------------------------------------------------------
+# Unicode normalization pack (functions/normalize.py)
+# --------------------------------------------------------------------------
+
+#: Hostile wrapper planted around every (pure-ASCII) fixture document:
+#: curly quotes (punct translate), tab + space runs (collapse), a ligature
+#: and full-width letters/digits (NFKC folds), a zero-width space (Cf
+#: strip) and a BEL control byte (Cc strip). The oracle replays the
+#: pipeline with the NFKC folds of the planted forms inlined as literals
+#: (DuckDB has no NFKC builtin; the fold itself is pinned against
+#: unicodedata in tests/test_normalize.py).
+_NORM_PREFIX = "  “"
+_NORM_SUFFIX = "”\tﬁＡＢＣ１２３​\x07  "
+
+
+@register(
+    "c28_normalize_pack",
+    oracle=r"""
+    SELECT doc_id,
+           TRIM(REGEXP_REPLACE(
+               '  "' || COALESCE(text, '') || '"' || CHR(9) || 'fiABC123  ',
+               '\s+', ' ', 'g')) AS clean,
+           CAST(LENGTH(TRIM(REGEXP_REPLACE(
+               '  "' || COALESCE(text, '') || '"' || CHR(9) || 'fiABC123  ',
+               '\s+', ' ', 'g'))) AS INT) AS clean_len
+    FROM documents
+    """,
+    survey_ref="north-star unicode normalization pack "
+    "(functions/normalize.py): NFKC compatibility fold, control/format-char "
+    "strip, typographic-punctuation unification, whitespace collapse — the "
+    "cleaning pass upstream of every dedup/quality signal",
+)
+def c28_normalize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full unicode-cleaning pass over documents wrapped in hostile
+    unicode (curly quotes, ligature/full-width NFKC forms, zero-width and
+    control bytes, whitespace runs). The fixture text is pure ASCII
+    (NFKC-invariant), so the oracle can inline the planted forms' known
+    NFKC folds as SQL literals and replay the strip/translate/collapse
+    stages exactly — the driver hash then covers the whole composed
+    pipeline byte-for-byte. Only the NFKC fold itself is Python
+    (Arrow-batched pandas_udf over a C stdlib kernel, plan pinned by
+    test_plan_arrow_batched); strip/punct/collapse are JVM regexp/translate
+    inside whole-stage codegen."""
+    from ..functions import normalize as NZ
+
+    dirty = F.concat(
+        F.lit(_NORM_PREFIX),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(_NORM_SUFFIX),
+    )
+    clean = NZ.normalize_text(dirty)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        clean.alias("clean"),
+        F.length(clean).cast("int").alias("clean_len"),
+    )
