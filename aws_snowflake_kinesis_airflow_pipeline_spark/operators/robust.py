@@ -10,9 +10,14 @@ Shape: exact MAD is inherently two dependent aggregation passes (the
 median must exist before deviations from it can be ranked) plus one
 counting pass — three scans of the fact, each a single-exchange grouped
 aggregate, with the tiny per-group stats tables broadcast back between
-passes. At 100 TB swap ``F.percentile`` for ``approx_percentile`` (GK
-digest, mergeable, memory-bounded) — same three-pass structure, same
-error-band-oracle pattern as ``b8_stats_pack``'s sketches.
+passes. The production path at corpus scale is ``approx=True``
+(``approx_percentile`` — Greenwald-Khanna digest: mergeable,
+memory-bounded by ``accuracy`` regardless of group cardinality); exact
+``F.percentile`` keeps unbounded per-group merge state and is reserved
+for oracle pairing and fixture-scale tests. The registered driver query
+carries both: the exact branch hash-checked against DuckDB
+QUANTILE_CONT, and an approx branch checked as an error band (the
+``b8_stats_pack`` sketch pattern).
 
 Cross-engine determinism of the outlier COUNT: a strict ``>`` on computed
 doubles can flip on engine ulp differences when a point lands exactly on
@@ -33,20 +38,32 @@ def grouped_mad_outliers(
     value_col: str,
     z: float = 3.0,
     eps: float = 0.0,
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Per-group (median, mad, n_outliers) where an outlier is
     ``|x - median| > z * mad + eps``. NULL values are ignored (neither
     ranked nor counted). median/mad are rounded to 4 dp in the output;
     the outlier rule uses full precision plus ``eps``.
+
+    ``approx=True`` is the at-scale form: GK-digest percentiles whose
+    state is O(accuracy * log(n)) per group instead of O(distinct
+    values) — the rank error is <= n/accuracy, exact whenever the group
+    is smaller than ``accuracy``.
     """
     v = F.col(value_col)
-    med = df.groupBy(*group_cols).agg(
-        F.percentile(v, F.lit(0.5)).alias("_med")
-    )
+    if approx:
+        def _median(c):
+            return F.approx_percentile(c, F.lit(0.5), F.lit(accuracy))
+    else:
+        def _median(c):
+            return F.percentile(c, F.lit(0.5))
+
+    med = df.groupBy(*group_cols).agg(_median(v).alias("_med"))
     mad = (
         df.join(F.broadcast(med), group_cols)
         .groupBy(*group_cols)
-        .agg(F.percentile(F.abs(v - F.col("_med")), F.lit(0.5)).alias("_mad"))
+        .agg(_median(F.abs(v - F.col("_med"))).alias("_mad"))
     )
     stats = med.join(mad, group_cols)
     counted = (

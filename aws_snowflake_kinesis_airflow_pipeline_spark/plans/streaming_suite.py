@@ -114,6 +114,13 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
                   JOIN vmad d USING (event_type)
     GROUP BY e.event_type
     UNION ALL
+    SELECT 'mad_outliers_approx_ok' AS op,
+           CAST(NULL AS TIMESTAMP) AS window_start,
+           CAST(NULL AS TIMESTAMP) AS window_end,
+           event_type,
+           CAST(1 AS BIGINT) AS n
+    FROM (SELECT DISTINCT event_type FROM events)
+    UNION ALL
     SELECT 'funnel' AS op,
            CAST(NULL AS TIMESTAMP) AS window_start,
            CAST(NULL AS TIMESTAMP) AS window_end,
@@ -132,18 +139,21 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "trending top-k (top-2 event types per sliding window, deterministic "
     "(count desc, key asc) rank) + §2 B40 robust anomaly detection "
     "(per-event-type |value - median| > 3*MAD outlier counts, ~11% of "
-    "rows on the heavy-tailed value column — non-vacuous) + §2 B43 "
+    "rows on the heavy-tailed value column — non-vacuous; carried twice: "
+    "exact hash-checked branch + the at-scale approx_percentile branch as "
+    "an error band the oracle bounds to TRUE) + §2 B43 "
     "ordered funnel conversion (view→click→purchase within 1h, "
     "greedy-earliest, strictly-ordered, per-user min-time chain), tagged "
     "so one oracle checks the batch twins of all six operators",
 )
 def s1_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Six-branch events pack. Scale note on the MAD branch: the oracle
-    pairing requires EXACT percentiles, whose merge state is unbounded in
-    distinct values per group; at true corpus scale the production form is
-    ``grouped_mad_outliers`` with ``approx_percentile`` (documented in
-    operators/robust.py) and an error-band check, exactly like b8's
-    sketch booleans."""
+    """Seven-branch events pack. The MAD operator rides twice: the exact
+    branch (oracle pairing requires exact percentiles) and the
+    ``approx=True`` GK-digest branch that IS the 100 TB plan
+    (memory-bounded merge state — see operators/robust.py), checked as an
+    error band: n=1 iff the approx outlier count lands within
+    1%-of-group-size (+1) of the exact count, which the oracle asserts
+    per event type — the same sketch-band pattern as b8_stats_pack."""
     ev = _events(spark, sf_dir)
     tumbling = W.tumbling_counts(ev, streaming=False).select(
         F.lit("tumbling").alias("op"),
@@ -183,6 +193,30 @@ def s1_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n_outliers").alias("n"),
     )
+    approx = grouped_mad_outliers(
+        ev, ["event_type"], "value", z=3.0, approx=True
+    )
+    sizes = ev.groupBy("event_type").agg(F.count("value").alias("_n"))
+    approx_ok = (
+        outliers.select("event_type", F.col("n").alias("_ne"))
+        .join(
+            approx.select("event_type", F.col("n_outliers").alias("_na")),
+            "event_type",
+        )
+        .join(sizes, "event_type")
+        .select(
+            F.lit("mad_outliers_approx_ok").alias("op"),
+            F.lit(None).cast("timestamp_ntz").alias("window_start"),
+            F.lit(None).cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            (
+                F.abs(F.col("_na") - F.col("_ne"))
+                <= F.lit(0.01) * F.col("_n") + F.lit(1)
+            )
+            .cast("long")
+            .alias("n"),
+        )
+    )
     funnel = funnel_conversion(
         ev, ["view", "click", "purchase"], within="1 hour"
     ).select(
@@ -197,6 +231,7 @@ def s1_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(joined)
         .unionByName(trending)
         .unionByName(outliers)
+        .unionByName(approx_ok)
         .unionByName(funnel)
     )
 

@@ -84,3 +84,35 @@ def test_partition_invariance(spark, facts):
         tuple(r) for r in grouped_mad_outliers(facts.repartition(5), ["grp"], "val").collect()
     )
     assert one == many
+
+
+def test_approx_exact_below_accuracy(spark, facts):
+    # GK digest is exact while the group is smaller than `accuracy`, so at
+    # fixture scale approx=True must reproduce the exact branch bit-for-bit.
+    exact = sorted(
+        tuple(r) for r in grouped_mad_outliers(facts, ["grp"], "val").collect()
+    )
+    approx = sorted(
+        tuple(r)
+        for r in grouped_mad_outliers(
+            facts, ["grp"], "val", approx=True
+        ).collect()
+    )
+    assert exact == approx
+
+
+def test_approx_band_above_accuracy(spark):
+    # Group larger than `accuracy`: rank error is <= n/accuracy, so with
+    # n=2000 and accuracy=100 the outlier count must land within 1% of
+    # the group (+1) of the exact count — the band the s1 driver branch
+    # asserts.
+    n = 2000
+    vals = [(i % 997) * 0.5 for i in range(n)]  # heavy repetition + spread
+    vals[:20] = [1e6 + i for i in range(20)]  # planted outliers
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, val double")
+    ne = grouped_mad_outliers(df, ["grp"], "val").first()["n_outliers"]
+    na = grouped_mad_outliers(df, ["grp"], "val", approx=True, accuracy=100).first()[
+        "n_outliers"
+    ]
+    assert abs(na - ne) <= 0.01 * n + 1
+    assert ne >= 20  # the planted points are actually flagged
