@@ -10,6 +10,15 @@ actionable error instead of a bare ClassNotFoundException. The frame
 contract (key = partition key = user_id, value = JSON event — reference
 scripts/kinesis_data_producer.py:39-46) is exactly
 ``rate_events.keyed_for_stream_sink``'s output, tested there.
+
+Vendoring attempt (round 6, documented per review): the container has no
+network (DNS resolution fails for both Maven Central and the pip index)
+and ships no kafka/delta jars anywhere on disk, so the connector cannot
+be added here. What IS tested offline: the producer→consumer data plane
+end-to-end (``decode_bus_frames`` round-trips ``keyed_for_stream_sink``
+frames byte-for-byte in test_stream_bus), and the connector wiring fails
+fast with an actionable error. On a real cluster the only untested code
+is Kafka's own transport.
 """
 
 from __future__ import annotations
@@ -43,23 +52,13 @@ def _ensure_connector(spark: SparkSession) -> None:
         raise ConnectorUnavailable(_MISSING) from e
 
 
-def read_events_bus(
-    spark: SparkSession,
-    bootstrap_servers: str,
-    topic: str,
-    starting_offsets: str = "earliest",
-) -> DataFrame:
-    """S1: the shard read. ``startingOffsets=earliest`` is TRIM_HORIZON,
-    ``latest`` is LATEST; per-trigger caps via ``maxOffsetsPerTrigger``
-    mirror get_records(Limit=...)."""
-    _ensure_connector(spark)
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
+def decode_bus_frames(raw: DataFrame) -> DataFrame:
+    """The consumer-side frame decode, factored out of
+    :func:`read_events_bus` so the production parse path is testable
+    without the connector jar: input is any DataFrame with the Kafka
+    source's ``key``/``value`` binary columns (streaming or batch — the
+    round-trip test feeds it ``keyed_for_stream_sink`` output cast to
+    binary, exactly the frames the producer would put on the wire)."""
     event_schema = "struct<" + ",".join(
         f"{f.name}:string" for f in LANDING_SCHEMA.fields
         if f.name != "_corrupt_record"
@@ -77,6 +76,26 @@ def read_events_bus(
         F.col("e.user_id").alias("user_id"),
         F.col("e.data").alias("data"),
     )
+
+
+def read_events_bus(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S1: the shard read. ``startingOffsets=earliest`` is TRIM_HORIZON,
+    ``latest`` is LATEST; per-trigger caps via ``maxOffsetsPerTrigger``
+    mirror get_records(Limit=...)."""
+    _ensure_connector(spark)
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return decode_bus_frames(raw)
 
 
 def write_events_bus(
