@@ -26,6 +26,7 @@ this container).
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -92,7 +93,17 @@ class IngestPipeline:
         return self.spark.read.parquet(self.events_path)
 
     def summary_table(self) -> DataFrame:
+        self._heal_summary_swap()
         return self.spark.read.parquet(self.summary_path)
+
+    def _heal_summary_swap(self) -> None:
+        """Finish a refresh interrupted between 'remove old' and 'promote
+        staging': the staging dir holds a complete committed summary, so
+        promoting it is always safe (same crash-healing discipline as
+        operators/incremental.py's index compaction swap)."""
+        staging = self.summary_path + "._staging"
+        if not os.path.exists(self.summary_path) and os.path.isdir(staging):
+            os.replace(staging, self.summary_path)
 
     # -- the per-batch body (the DAG's task chain, in order) --------------
 
@@ -229,14 +240,8 @@ class IngestPipeline:
             events.filter(F.col("event_date").isin(affected_dates))
         )
         try:
-            # keep rows for untouched dates; materialize to the driver
-            # (the summary is dates x event-types — tiny) before the
-            # overwrite truncates the directory being read
             old = self.summary_table()
-            kept_rows = old.filter(
-                ~F.col("event_date").isin(affected_dates)
-            ).collect()
-            kept = self.spark.createDataFrame(kept_rows, old.schema)
+            kept = old.filter(~F.col("event_date").isin(affected_dates))
             out = kept.union(new_part.select(*old.columns))
         except Exception as exc:
             # Only "summary doesn't exist yet" may fall back to new_part —
@@ -245,7 +250,16 @@ class IngestPipeline:
             if not self._is_path_missing(exc):
                 raise
             out = new_part
-        out.write.mode("overwrite").parquet(self.summary_path)
+        # Write-temp-and-swap instead of in-place overwrite: the plan reads
+        # the old directory, so writing it in place would truncate its own
+        # input; the old fix collect()ed the table through the driver —
+        # bounded (dates x event types) but growing with history. Staging
+        # keeps every row executor-side at any scale; the swap window is
+        # healed by _heal_summary_swap.
+        staging = self.summary_path + "._staging"
+        out.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(self.summary_path, ignore_errors=True)
+        os.replace(staging, self.summary_path)
 
     # -- query lifecycle --------------------------------------------------
 
