@@ -49,11 +49,14 @@ def drop_duplicate_lines(
     counts each document once however often the line repeats inside it.
     Documents with no text produce ``clean_text = ''``.
     """
+    # coalesce: split(NULL) is NULL and posexplode of NULL emits no rows,
+    # which would drop NULL-text documents from the output entirely —
+    # the contract is one row per input document, clean_text = ''.
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), F.lit(line_sep), -1)).alias(
-            "pos", "line"
-        ),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), F.lit(line_sep), -1)
+        ).alias("pos", "line"),
     )
     hot = (
         lines.select(id_col, "line")

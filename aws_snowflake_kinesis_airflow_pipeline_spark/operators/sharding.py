@@ -101,16 +101,21 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_training_shard(
-    spark: SparkSession, path: str, shard: int
+    spark: SparkSession, path: str, shard: int, key_col: str | None = None
 ) -> DataFrame:
     """One shard, in training order, shard/order plumbing dropped.
 
     The shard filter is partition pruning (``shard=K`` directory), the
     sort is shard-local — reading one shard never touches the other N-1.
+    Pass the writer's ``key_col`` to reproduce its exact tie-break: on an
+    xxhash64 collision the ``_order`` sort alone is ambiguous, and the
+    fallback (first remaining column) only matches the written order by
+    accident of column position.
     """
     df = spark.read.parquet(f"{path}/data").where(F.col(SHARD_COL) == shard)
     cols = [c for c in df.columns if c not in (SHARD_COL, ORDER_COL)]
-    return df.orderBy(ORDER_COL, *cols[:1]).select(*cols)
+    tie = [key_col] if key_col is not None else cols[:1]
+    return df.orderBy(ORDER_COL, *tie).select(*cols)
 
 
 def verify_shards(spark: SparkSession, path: str, key_col: str) -> DataFrame:
@@ -129,9 +134,13 @@ def verify_shards(spark: SparkSession, path: str, key_col: str) -> DataFrame:
             SHARD_COL,
             "n_rows",
             "actual_rows",
-            (
+            # coalesce: a shard present on only one side of the full join
+            # (missing data dir, stale manifest row) compares to NULL, and
+            # a pre-flight filtering ok == false would silently pass it.
+            F.coalesce(
                 (F.col("n_rows") == F.col("actual_rows"))
-                & (F.col("key_checksum") == F.col("actual_checksum"))
+                & (F.col("key_checksum") == F.col("actual_checksum")),
+                F.lit(False),
             ).alias("ok"),
         )
     )

@@ -455,3 +455,24 @@ def test_line_dedup_df_counts_docs_not_occurrences(spark):
     }
     assert out[1] == "x\nx\nx\nx\nx"
     assert out[2] == "y"
+
+
+def test_line_dedup_null_text_survives_as_empty_doc(spark):
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.linedup import (
+        drop_duplicate_lines,
+    )
+
+    # split(NULL) -> NULL -> posexplode emits nothing, which used to drop
+    # NULL-text documents from the output entirely; the contract is one
+    # row per input document with clean_text = ''.
+    rows = [(1, "real line"), (2, None)]
+    out = {
+        r["doc_id"]: r
+        for r in drop_duplicate_lines(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            max_line_df=3,
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[2]["clean_text"] == ""
+    assert out[1]["clean_text"] == "real line"

@@ -83,7 +83,7 @@ def test_training_order_matches_portable_reference(spark, docs, tmp_path):
     p = str(tmp_path / "shards_portable")
     write_training_shards(docs, p, "doc_id", SHARDS, seed=3, portable=True)
     for s in range(SHARDS):
-        got = [r["doc_id"] for r in read_training_shard(spark, p, s).collect()]
+        got = [r["doc_id"] for r in read_training_shard(spark, p, s, key_col="doc_id").collect()]
         want = sorted(got, key=lambda k: (_md5_hash(3, k), k))
         assert got == want, f"shard {s} out of training order"
         # And membership matches the portable hash's pmod assignment.
@@ -118,3 +118,17 @@ def test_verify_catches_corruption(spark, docs, tmp_path):
 def test_n_shards_validation(spark, docs):
     with pytest.raises(ValueError):
         assign_shards(docs, "doc_id", 0)
+
+
+def test_verify_flags_one_sided_shards_false_not_null(spark, docs, tmp_path):
+    # A shard present on only one side of the manifest/data full join must
+    # report ok = False (not NULL): a pre-flight filtering ok == false
+    # would silently pass a NULL through.
+    import shutil
+
+    p = str(tmp_path / "shards_onesided")
+    write_training_shards(docs, p, "doc_id", SHARDS, seed=7)
+    shutil.rmtree(f"{p}/data/shard=0")  # data dir lost, manifest row stale
+    rows = {r["shard"]: r["ok"] for r in verify_shards(spark, p, "doc_id").collect()}
+    assert rows[0] is False
+    assert all(rows[s] for s in range(1, SHARDS))
