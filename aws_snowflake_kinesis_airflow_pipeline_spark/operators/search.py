@@ -165,8 +165,16 @@ def bm25_topk(
 def _rank_window(id_col: str):
     from pyspark.sql import Window
 
-    return (
-        Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    # The window input is already .limit(k)'d (<= k rows), so a global
+    # window is safe — but an UNPARTITIONED one logs WindowExec's
+    # move-everything warning, which would mask a real unbounded global
+    # window introduced elsewhere. Partitioning by the constant id*0
+    # (fold-proof: a bare lit(0) is stripped by EliminateWindowPartitions,
+    # and col*0 can't fold because NULL*0 is NULL) keeps the identical
+    # single-partition execution with the partition declared — silent.
+    # Boundedness is pinned by test_rank_window_input_is_pre_limited.
+    return Window.partitionBy(F.col(id_col) * F.lit(0)).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
     )
 
 

@@ -124,3 +124,16 @@ def test_plan_jvm_only(spark, docs_df):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_vocab_rank_window_input_is_pre_limited(spark, docs_df):
+    # The token_id window sits above GlobalLimit vocab_size — bounded
+    # input is what keeps the single-partition rank safe at scale.
+    plan = (
+        build_vocab(docs_df, vocab_size=7)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    w = plan.index("Window")
+    assert "GlobalLimit 7" in plan[w:], plan

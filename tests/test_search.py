@@ -114,3 +114,17 @@ def test_tf_idf_vectors_formula_and_vocab_cap(spark, docs_df):
         if r["term"] == "join" and r["doc_id"] == 4:
             # tf=3 in doc 4, df=2 → weight = 3 * ln(6/2)
             assert math.isclose(r["weight"], round(3 * math.log(n / 2), 4), abs_tol=1e-4)
+
+
+def test_rank_window_input_is_pre_limited(spark, docs_df):
+    # The rank window rides above GlobalLimit k in the optimized plan —
+    # the invariant that makes its single-partition execution safe (and
+    # its WindowExec silence honest) at any corpus size.
+    plan = (
+        bm25_topk(docs_df, ["hash", "join"], 5)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    w = plan.index("Window")
+    assert "GlobalLimit 5" in plan[w:], plan
