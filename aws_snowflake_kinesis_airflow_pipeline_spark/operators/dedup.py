@@ -179,6 +179,52 @@ def _posting_pairs(postings: DataFrame) -> DataFrame:
     ).select("p.id1", "p.id2")
 
 
+def _sized_posting_pairs(postings: DataFrame, threshold: float) -> DataFrame:
+    """:func:`_posting_pairs` with the row-local LENGTH FILTER: ``ids``
+    holds struct(n_sh, id) sorted ascending, so for a pair (x, y) with
+    x before y, ``x.n_sh <= y.n_sh`` — and Jaccard >= t is impossible
+    unless ``n_min >= t * n_max`` (j = m/(n1+n2-m) >= t with m <= n_min
+    forces n_min*(1+t) >= t*(n_min+n_max)). Pairs failing the ratio are
+    dropped BEFORE the pair-count exchange, which is where the grouped
+    path's cost lives: on a corpus with any size spread the surviving
+    fraction is roughly the mass within ratio t of the size
+    distribution. Lossless for the capped semantics too — the final
+    filter counts capped intersections against FULL sizes, and
+    m_capped <= m <= n_min keeps the implication intact.
+
+    The guard mirrors the df-prefix branch: the shipped filter is
+    round(j, 4) >= t, admitting j down to t - 5e-5, so the ratio test
+    uses integer t*100000 - 5 — no engine can disagree through float
+    rounding."""
+    t5 = round(threshold * 100000) - 5
+    return (
+        postings.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.filter(
+                            F.transform(
+                                F.slice(
+                                    F.col("ids"), i + F.lit(2), F.size("ids")
+                                ),
+                                lambda y: F.struct(
+                                    x["n_sh"].alias("n1"),
+                                    y["n_sh"].alias("n2"),
+                                    F.least(x["id"], y["id"]).alias("id1"),
+                                    F.greatest(x["id"], y["id"]).alias("id2"),
+                                ),
+                            ),
+                            lambda p: p["n1"] * 100000 >= F.lit(t5) * p["n2"],
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id1", "p.id2")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -404,6 +450,7 @@ def ngram_jaccard_pairs(
         and max_doc_freq is None
         and (per_doc_sets is not None or index is None)
     )
+    per_doc_local = None
     if not array_path:
         if index is not None:
             sh = index
@@ -419,6 +466,7 @@ def ngram_jaccard_pairs(
             # accumulate cache entries (cache() here re-registered an
             # identical plan every call and warned).
             per_doc = doc_shingles(df, id_col, text_col, k).localCheckpoint()
+            per_doc_local = per_doc
             sh = per_doc.select(id_col, F.explode("hs").alias("shingle"))
             if sizes is None:
                 sizes = per_doc.select(id_col, F.size("hs").alias("n_sh"))
@@ -435,17 +483,41 @@ def ngram_jaccard_pairs(
             # a group emits <= cap^2/2 pairs. (Without a cap a single
             # boilerplate shingle could blow a row, which is why the
             # uncapped exact path keeps the join form.)
-            postings = (
-                sh.groupBy("shingle")
-                .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-                .filter(
-                    (F.size("ids") >= 2) & (F.size("ids") <= max_doc_freq)
+            if per_doc_local is not None:
+                # Size-carrying postings (n_sh rides the explode row-
+                # locally off the checkpointed per_doc — no extra join,
+                # no shingle recompute) let pair emission apply the
+                # LENGTH FILTER before the pair-count exchange: see
+                # _sized_posting_pairs. Identical result set; the pruned
+                # pairs are exactly those no Jaccard >= t can admit.
+                sh_sized = per_doc_local.select(
+                    F.col(id_col).alias("id"),
+                    F.size("hs").alias("n_sh"),
+                    F.explode("hs").alias("shingle"),
                 )
-            )
-            inter = (
-                _posting_pairs(postings)
-                .groupBy("id1", "id2")
-                .agg(F.count("*").alias("n_inter"))
+                postings = (
+                    sh_sized.groupBy("shingle")
+                    .agg(
+                        F.sort_array(
+                            F.collect_list(F.struct("n_sh", "id"))
+                        ).alias("ids")
+                    )
+                    .filter(
+                        (F.size("ids") >= 2) & (F.size("ids") <= max_doc_freq)
+                    )
+                )
+                pairs = _sized_posting_pairs(postings, threshold)
+            else:
+                postings = (
+                    sh.groupBy("shingle")
+                    .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+                    .filter(
+                        (F.size("ids") >= 2) & (F.size("ids") <= max_doc_freq)
+                    )
+                )
+                pairs = _posting_pairs(postings)
+            inter = pairs.groupBy("id1", "id2").agg(
+                F.count("*").alias("n_inter")
             )
             return _jaccard_from_inter(inter, sizes, id_col, threshold)
         if max_doc_freq is not None:
