@@ -25,6 +25,7 @@ import random
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -666,70 +667,26 @@ def _splitmix64_inplace(z: "np.ndarray", tmp: "np.ndarray") -> "np.ndarray":
     return z
 
 
-def minhash_mins_udf(num_hashes: int = 64, seed: int = 1):
-    """Arrow-batched MinHash reduction: ``array<long>`` of base shingle
-    hashes -> ``array<long>`` of ``num_hashes`` minima, where hash family
-    i is ``splitmix64(h ^ seed_i)`` under unsigned comparison.
-
-    Per Arrow batch the whole reduction is a flatten + broadcast-mix +
-    ``np.minimum.reduceat`` — no per-row Python, no groupBy: signatures
-    are computed where the document row already lives. (The previous
-    formulation shuffled the exploded index into a collect_list per doc
-    and ran num_hashes x |shingles| interpreted xxhash64 calls per row.)
-    Rows with an empty shingle array yield NULL (caller filters — a doc
-    with < k tokens has no signature, matching the old groupBy dropout).
-    """
-    seeds = _splitmix64(
-        (np.arange(1, num_hashes + 1, dtype=np.uint64) + np.uint64(seed))
-        * _SPLITMIX_GOLDEN
-    )
-
-    @F.pandas_udf("array<long>")
-    def _mins(hs: pd.Series) -> pd.Series:
-        n = len(hs)
-        if n == 0:
-            return pd.Series([], dtype=object)
-        lengths = np.fromiter(
-            (0 if v is None else len(v) for v in hs), dtype=np.int64, count=n
-        )
-        nonempty = lengths > 0
-        arrays = [
-            np.asarray(v, dtype=np.int64)
-            for v, ok in zip(hs, nonempty)
-            if ok
-        ]
-        out = np.full(n, None, dtype=object)
-        if arrays:
-            flat = np.concatenate(arrays).view(np.uint64)
-            seg_lens = lengths[nonempty]
-            starts = np.zeros(len(seg_lens), dtype=np.int64)
-            np.cumsum(seg_lens[:-1], out=starts[1:])
-            mins = np.empty((len(seg_lens), num_hashes), dtype=np.uint64)
-            # Chunk the hash axis so the (n_shingles x chunk) mix matrix
-            # stays small regardless of batch size; two reused buffers, no
-            # per-chunk temporaries (see _splitmix64_inplace).
-            chunk = 16
-            buf = np.empty((len(flat), chunk), dtype=np.uint64)
-            tmp = np.empty_like(buf)
-            for j0 in range(0, num_hashes, chunk):
-                sd = seeds[j0 : j0 + chunk]
-                b = buf[:, : len(sd)]
-                np.bitwise_xor(flat[:, None], sd[None, :], out=b)
-                _splitmix64_inplace(b, tmp[:, : len(sd)])
-                mins[:, j0 : j0 + len(sd)] = np.minimum.reduceat(
-                    b, starts, axis=0
-                )
-            signed = mins.view(np.int64)
-            for row, i in zip(signed, np.flatnonzero(nonempty)):
-                out[i] = row
-        return pd.Series(out)
-
-    # The kernel is pure, but advertising that lets Catalyst push the
-    # downstream isnotnull(mins) filter below the parallelism Exchange —
-    # duplicating the WHOLE kernel into a second ArrowEvalPython on the
-    # scan side (observed: 2x the kernel, run at scan parallelism).
-    # Nondeterministic pins one evaluation, above the Exchange.
-    return _mins.asNondeterministic()
+def _minhash_mins_core(
+    flat: "np.ndarray", starts: "np.ndarray", seeds: "np.ndarray"
+) -> "np.ndarray":
+    """num_hashes minima per contiguous segment of ``flat`` (uint64 base
+    hashes); ``starts`` holds each non-empty segment's first index.
+    Chunk the hash axis so the (n_shingles x chunk) mix matrix stays
+    small regardless of batch size; two reused buffers, no per-chunk
+    temporaries (see _splitmix64_inplace)."""
+    num_hashes = len(seeds)
+    mins = np.empty((len(starts), num_hashes), dtype=np.uint64)
+    chunk = 16
+    buf = np.empty((len(flat), chunk), dtype=np.uint64)
+    tmp = np.empty_like(buf)
+    for j0 in range(0, num_hashes, chunk):
+        sd = seeds[j0 : j0 + chunk]
+        b = buf[:, : len(sd)]
+        np.bitwise_xor(flat[:, None], sd[None, :], out=b)
+        _splitmix64_inplace(b, tmp[:, : len(sd)])
+        mins[:, j0 : j0 + len(sd)] = np.minimum.reduceat(b, starts, axis=0)
+    return mins
 
 
 def minhash_signatures(
@@ -743,22 +700,91 @@ def minhash_signatures(
     """Per-document MinHash signature as ``mins: array<long>`` —
     shuffle-free: shingle sets are row-local (:func:`doc_shingles`) and
     the ``num_hashes`` minima are one vectorized reduction per Arrow
-    batch (:func:`minhash_mins_udf`). Docs with no shingles (< k tokens)
-    are dropped, as the previous groupBy formulation did implicitly."""
+    batch. Docs with no shingles (< k tokens) are dropped, as the
+    previous groupBy formulation did implicitly.
+
+    The kernel is ``mapInArrow``, not a pandas_udf: the list column's
+    values/offsets buffers are consumed and produced as flat numpy views
+    with ZERO per-row Python — the pandas form paid a 500k-iteration
+    object-row build plus a pandas→Arrow list reconstruction per sf10
+    pass (A/B in BASELINE.md round-6 notes). mapInArrow also removes the
+    ArrowEvalPython filter-pushdown hazard the pandas form had to pin
+    with asNondeterministic (a map node is a plan barrier; the
+    isnotnull(mins) below cannot be duplicated under it)."""
     src = (
         per_doc
         if per_doc is not None
         else doc_shingles(df, id_col, text_col, k)
     )
+    seeds = _splitmix64(
+        (np.arange(1, num_hashes + 1, dtype=np.uint64) + np.uint64(1))
+        * _SPLITMIX_GOLDEN
+    )
+    id_type = src.schema[id_col].dataType.simpleString()
+
+    def _map(batches):
+        for b in batches:
+            ids, la = b.column(0), b.column(1)
+            n = len(la)
+            if n == 0:
+                continue
+            off = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = (
+                la.values.to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+                .view(np.uint64)
+            )
+            valid = (
+                ~np.asarray(la.is_null())
+                if la.null_count
+                else np.ones(n, dtype=bool)
+            )
+            lens = off[1:] - off[:-1]
+            nonempty = valid & (lens > 0)
+            if nonempty.any():
+                starts = off[:-1][nonempty]
+                seg_lens = lens[nonempty]
+                # reduceat reduces [starts[i], starts[i+1]) — valid only
+                # if the selected segments tile a contiguous window. A
+                # sliced/gap-bearing layout (never produced by Spark, but
+                # cheap to guard) falls back to an explicit gather.
+                expect = np.empty_like(starts)
+                expect[0] = starts[0]
+                np.cumsum(seg_lens[:-1], out=expect[1:])
+                expect[1:] += starts[0]
+                if np.array_equal(starts, expect):
+                    window = vals[starts[0] : starts[-1] + seg_lens[-1]]
+                    rel = starts - starts[0]
+                else:
+                    window = np.concatenate(
+                        [vals[s : s + l] for s, l in zip(starts, seg_lens)]
+                    )
+                    rel = np.zeros(len(seg_lens), dtype=np.int64)
+                    np.cumsum(seg_lens[:-1], out=rel[1:])
+                mins = _minhash_mins_core(window, rel, seeds)
+                flat_out = mins.view(np.int64).reshape(-1)
+            else:
+                flat_out = np.empty(0, dtype=np.int64)
+            counts = np.where(nonempty, num_hashes, 0)
+            offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(counts, out=offs[1:])
+            arr = pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()),
+                pa.array(flat_out, type=pa.int64()),
+                mask=pa.array(~nonempty),
+            )
+            yield pa.RecordBatch.from_arrays([ids, arr], [id_col, "mins"])
+
     # Drop no-shingle docs AFTER the kernel, on its NULL output: a
     # pre-filter on size(hs) gets the whole computed shingle expression
     # inlined into the predicate by projection collapse, computing every
     # shingle array twice in the fused stage (measured ~2x the signature
-    # pass on a streamed, non-checkpointed per_doc). The kernel already
-    # maps empty/NULL inputs to NULL signatures.
-    return src.select(
-        id_col, minhash_mins_udf(num_hashes)(F.col("hs")).alias("mins")
-    ).filter(F.col("mins").isNotNull())
+    # pass on a streamed, non-checkpointed per_doc).
+    return (
+        src.select(id_col, "hs")
+        .mapInArrow(_map, f"{id_col} {id_type}, mins array<bigint>")
+        .filter(F.col("mins").isNotNull())
+    )
 
 
 def band_buckets(

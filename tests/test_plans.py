@@ -116,12 +116,12 @@ def test_minhash_signatures_are_shuffle_free(spark, sf_dir):
     exchanges = [l for l in plan.splitlines() if "Exchange" in l]
     assert all("REPARTITION_BY_NUM" in l for l in exchanges), exchanges
     assert "collect_list" not in plan
-    # Exactly ONE kernel evaluation: a deterministic-marked UDF lets the
-    # downstream isnotnull(mins) filter push below the parallelism
-    # Exchange, duplicating the whole MinHash kernel into a second
-    # ArrowEvalPython that runs at scan parallelism (measured 2x the
-    # signature pass at sf10). asNondeterministic pins it.
-    assert plan.count("ArrowEvalPython") == 1, plan
+    # Exactly ONE kernel evaluation, and it is the buffer-level
+    # mapInArrow form (a map node is a plan barrier, so the downstream
+    # isnotnull(mins) can never be duplicated below it the way the
+    # pandas_udf form's filter pushdown once doubled the kernel).
+    assert plan.count("MapInArrow") == 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
 def test_q6_all_predicates_push_to_scan(spark, sf_dir):
