@@ -525,6 +525,16 @@ def c16_near_dup_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text analysis (B13 extended)
 # --------------------------------------------------------------------------
 
+#: Hostile wrapper planted around every (pure-ASCII) fixture document for
+#: the c8 unicode-normalization columns: curly quotes (punct translate),
+#: tab + space runs (collapse), a ligature and full-width letters/digits
+#: (NFKC folds), a zero-width space (Cf strip) and a BEL control byte (Cc
+#: strip). The oracle replays the pipeline with the NFKC folds of the
+#: planted forms inlined as literals (DuckDB has no NFKC builtin; the
+#: fold itself is pinned against unicodedata in tests/test_normalize.py).
+_NORM_PREFIX = "  \u201c"
+_NORM_SUFFIX = "\u201d\t\ufb01\uff21\uff22\uff23\uff11\uff12\uff13\u200b\x07  "
+
 
 @register(
     "c8_text_features",
@@ -588,27 +598,50 @@ def c16_near_dup_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
                      BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END),
            4) AS quality,
            COALESCE(lm.lm_bigrams, 0) AS lm_bigrams,
-           lm.lm_logprob AS lm_logprob
+           lm.lm_logprob AS lm_logprob,
+           TRIM(REGEXP_REPLACE(
+               '  "' || COALESCE(text, '') || '"' || CHR(9) || 'fiABC123  ',
+               '\\s+', ' ', 'g')) AS norm_clean,
+           CAST(LENGTH(TRIM(REGEXP_REPLACE(
+               '  "' || COALESCE(text, '') || '"' || CHR(9) || 'fiABC123  ',
+               '\\s+', ' ', 'g'))) AS INT) AS norm_clean_len
     FROM toks LEFT JOIN lm USING (doc_id)
     """,
     survey_ref="§2 B13 pack: token counting (whitespace + BPE-ish regex), "
     "document fingerprinting (normalized content hash), Gopher-style "
     "repetition signals (duplicate-word + top-word fractions), quality "
-    "scoring (length/punct/stopword components + composite), and B36 "
+    "scoring (length/punct/stopword components + composite), B36 "
     "count-based bigram-LM quality score (CCNet-style perplexity signal: "
     "add-k smoothed corpus bigram model, top-64 vocab with OOV collapse; "
     "oracle rebuilds the model and replays every document's mean bigram "
-    "log-prob)",
+    "log-prob), and the north-star unicode normalization pack "
+    "(functions/normalize.py — NFKC fold + control/format strip + punct "
+    "unification + whitespace collapse over a planted hostile wrapper; "
+    "the oracle inlines the planted forms' known NFKC folds as literals "
+    "and replays the strip/translate/collapse stages byte-for-byte)",
 )
 def c8_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counts, the normalized content fingerprint, the
     quality-score components (one projection, all JVM expressions) — plus
     the corpus-level bigram-LM quality score joined per document
     (operators/lm.py; the model is UNK-bounded so both scoring joins
-    broadcast)."""
+    broadcast), plus the full unicode-cleaning pass over the document
+    wrapped in hostile unicode (curly quotes, NFKC compatibility forms, a
+    zero-width and a control byte, whitespace runs — _NORM_PREFIX/_SUFFIX
+    below). The fixture text is pure ASCII (NFKC-invariant), so the
+    oracle replays the pipeline exactly with the planted folds as SQL
+    literals; only the NFKC fold itself is Python (Arrow-batched C-stdlib
+    kernel, plan pinned by test_normalize::test_plan_arrow_batched)."""
+    from ..functions import normalize as NZ
     from ..operators.lm import bigram_lm_scores
 
     docs = _docs(spark, sf_dir)
+    dirty = F.concat(
+        F.lit(_NORM_PREFIX),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(_NORM_SUFFIX),
+    )
+    clean = NZ.normalize_text(dirty)
     feats = docs.select(
         "doc_id",
         F.length("text").alias("n_chars"),
@@ -620,6 +653,8 @@ def c8_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(TX.punct_ratio("text"), 4).alias("punct_ratio"),
         F.round(TX.stopword_ratio("text"), 4).alias("stopword_ratio"),
         TX.quality_score("text").alias("quality"),
+        clean.alias("norm_clean"),
+        F.length(clean).cast("int").alias("norm_clean_len"),
     )
     return feats.join(bigram_lm_scores(docs, vocab_size=64), "doc_id")
 
@@ -1419,62 +1454,4 @@ def c27_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bm25_topk(
         _docs(spark, sf_dir).select("doc_id", "text"), _BM25_QUERY, _BM25_K
-    )
-
-
-# --------------------------------------------------------------------------
-# Unicode normalization pack (functions/normalize.py)
-# --------------------------------------------------------------------------
-
-#: Hostile wrapper planted around every (pure-ASCII) fixture document:
-#: curly quotes (punct translate), tab + space runs (collapse), a ligature
-#: and full-width letters/digits (NFKC folds), a zero-width space (Cf
-#: strip) and a BEL control byte (Cc strip). The oracle replays the
-#: pipeline with the NFKC folds of the planted forms inlined as literals
-#: (DuckDB has no NFKC builtin; the fold itself is pinned against
-#: unicodedata in tests/test_normalize.py).
-_NORM_PREFIX = "  “"
-_NORM_SUFFIX = "”\tﬁＡＢＣ１２３​\x07  "
-
-
-@register(
-    "c28_normalize_pack",
-    oracle=r"""
-    SELECT doc_id,
-           TRIM(REGEXP_REPLACE(
-               '  "' || COALESCE(text, '') || '"' || CHR(9) || 'fiABC123  ',
-               '\s+', ' ', 'g')) AS clean,
-           CAST(LENGTH(TRIM(REGEXP_REPLACE(
-               '  "' || COALESCE(text, '') || '"' || CHR(9) || 'fiABC123  ',
-               '\s+', ' ', 'g'))) AS INT) AS clean_len
-    FROM documents
-    """,
-    survey_ref="north-star unicode normalization pack "
-    "(functions/normalize.py): NFKC compatibility fold, control/format-char "
-    "strip, typographic-punctuation unification, whitespace collapse — the "
-    "cleaning pass upstream of every dedup/quality signal",
-)
-def c28_normalize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full unicode-cleaning pass over documents wrapped in hostile
-    unicode (curly quotes, ligature/full-width NFKC forms, zero-width and
-    control bytes, whitespace runs). The fixture text is pure ASCII
-    (NFKC-invariant), so the oracle can inline the planted forms' known
-    NFKC folds as SQL literals and replay the strip/translate/collapse
-    stages exactly — the driver hash then covers the whole composed
-    pipeline byte-for-byte. Only the NFKC fold itself is Python
-    (Arrow-batched pandas_udf over a C stdlib kernel, plan pinned by
-    test_plan_arrow_batched); strip/punct/collapse are JVM regexp/translate
-    inside whole-stage codegen."""
-    from ..functions import normalize as NZ
-
-    dirty = F.concat(
-        F.lit(_NORM_PREFIX),
-        F.coalesce(F.col("text"), F.lit("")),
-        F.lit(_NORM_SUFFIX),
-    )
-    clean = NZ.normalize_text(dirty)
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        clean.alias("clean"),
-        F.length(clean).cast("int").alias("clean_len"),
     )
