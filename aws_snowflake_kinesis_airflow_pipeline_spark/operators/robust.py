@@ -65,6 +65,10 @@ def grouped_mad_outliers(
         .groupBy(*group_cols)
         .agg(_median(F.abs(v - F.col("_med"))).alias("_mad"))
     )
+    return _finish_mad(df, group_cols, v, med, mad, z, eps)
+
+
+def _finish_mad(df, group_cols, v, med, mad, z, eps):
     stats = med.join(mad, group_cols)
     counted = (
         df.join(F.broadcast(stats), group_cols)
@@ -84,4 +88,70 @@ def grouped_mad_outliers(
         F.round("_med", 4).alias("median"),
         F.round("_mad", 4).alias("mad"),
         "n_outliers",
+    )
+
+
+def grouped_mad_outliers_paired(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    z: float = 3.0,
+    eps: float = 0.0,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Exact AND approx MAD outlier stats in the SAME three aggregation
+    passes (plus the group size, folded into the counting pass):
+    ``(group_cols, median, mad, n_outliers, median_approx, mad_approx,
+    n_outliers_approx, n_values)``.
+
+    Running :func:`grouped_mad_outliers` twice costs six grouped scans of
+    the fact; pairing the percentile expressions inside one aggregate per
+    pass halves that — the shape for any caller that wants the exact
+    answer checked against the memory-bounded plan (the s1 driver query's
+    error-band branch).
+    """
+    v = F.col(value_col)
+    med = df.groupBy(*group_cols).agg(
+        F.percentile(v, F.lit(0.5)).alias("_med"),
+        F.approx_percentile(v, F.lit(0.5), F.lit(accuracy)).alias("_med_a"),
+    )
+    mad = (
+        df.join(F.broadcast(med), group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.percentile(F.abs(v - F.col("_med")), F.lit(0.5)).alias("_mad"),
+            F.approx_percentile(
+                F.abs(v - F.col("_med_a")), F.lit(0.5), F.lit(accuracy)
+            ).alias("_mad_a"),
+        )
+    )
+    stats = med.join(mad, group_cols)
+    counted = (
+        df.join(F.broadcast(stats), group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(
+                F.when(F.abs(v - F.col("_med")) > z * F.col("_mad") + eps, 1)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(
+                F.when(
+                    F.abs(v - F.col("_med_a")) > z * F.col("_mad_a") + eps, 1
+                )
+            )
+            .cast("long")
+            .alias("n_outliers_approx"),
+            F.count(v).cast("long").alias("n_values"),
+        )
+    )
+    return stats.join(counted, group_cols).select(
+        *group_cols,
+        F.round("_med", 4).alias("median"),
+        F.round("_mad", 4).alias("mad"),
+        "n_outliers",
+        F.round("_med_a", 4).alias("median_approx"),
+        F.round("_mad_a", 4).alias("mad_approx"),
+        "n_outliers_approx",
+        "n_values",
     )

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.event_funnel import funnel_conversion
-from ..operators.robust import grouped_mad_outliers
+from ..operators.robust import grouped_mad_outliers_paired
 from ..streaming import joins as J
 from ..streaming import windows as W
 from .registry import register
@@ -186,36 +186,28 @@ def s1_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Robust anomaly counts on the continuous value column (eps guard not
     # needed off a value grid: a count flip would need a point within fp
     # noise of the 3*MAD threshold, measure-zero for continuous doubles).
-    outliers = grouped_mad_outliers(ev, ["event_type"], "value", z=3.0).select(
+    # The paired operator computes the exact and GK-digest stats in the
+    # SAME three grouped passes (plus the group size folded into the
+    # counting pass) — both branches below project off one result.
+    mad_stats = grouped_mad_outliers_paired(ev, ["event_type"], "value", z=3.0)
+    outliers = mad_stats.select(
         F.lit("mad_outliers").alias("op"),
         F.lit(None).cast("timestamp_ntz").alias("window_start"),
         F.lit(None).cast("timestamp_ntz").alias("window_end"),
         "event_type",
         F.col("n_outliers").alias("n"),
     )
-    approx = grouped_mad_outliers(
-        ev, ["event_type"], "value", z=3.0, approx=True
-    )
-    sizes = ev.groupBy("event_type").agg(F.count("value").alias("_n"))
-    approx_ok = (
-        outliers.select("event_type", F.col("n").alias("_ne"))
-        .join(
-            approx.select("event_type", F.col("n_outliers").alias("_na")),
-            "event_type",
+    approx_ok = mad_stats.select(
+        F.lit("mad_outliers_approx_ok").alias("op"),
+        F.lit(None).cast("timestamp_ntz").alias("window_start"),
+        F.lit(None).cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        (
+            F.abs(F.col("n_outliers_approx") - F.col("n_outliers"))
+            <= F.lit(0.01) * F.col("n_values") + F.lit(1)
         )
-        .join(sizes, "event_type")
-        .select(
-            F.lit("mad_outliers_approx_ok").alias("op"),
-            F.lit(None).cast("timestamp_ntz").alias("window_start"),
-            F.lit(None).cast("timestamp_ntz").alias("window_end"),
-            "event_type",
-            (
-                F.abs(F.col("_na") - F.col("_ne"))
-                <= F.lit(0.01) * F.col("_n") + F.lit(1)
-            )
-            .cast("long")
-            .alias("n"),
-        )
+        .cast("long")
+        .alias("n"),
     )
     funnel = funnel_conversion(
         ev, ["view", "click", "purchase"], within="1 hour"

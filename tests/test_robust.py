@@ -116,3 +116,30 @@ def test_approx_band_above_accuracy(spark):
     ]
     assert abs(na - ne) <= 0.01 * n + 1
     assert ne >= 20  # the planted points are actually flagged
+
+
+def test_paired_matches_two_single_calls(spark, facts):
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.robust import (
+        grouped_mad_outliers_paired,
+    )
+
+    paired = {
+        r["grp"]: r for r in grouped_mad_outliers_paired(facts, ["grp"], "val").collect()
+    }
+    exact = {
+        r["grp"]: r for r in grouped_mad_outliers(facts, ["grp"], "val").collect()
+    }
+    approx = {
+        r["grp"]: r
+        for r in grouped_mad_outliers(facts, ["grp"], "val", approx=True).collect()
+    }
+    for g in exact:
+        assert (
+            paired[g]["median"], paired[g]["mad"], paired[g]["n_outliers"]
+        ) == (exact[g]["median"], exact[g]["mad"], exact[g]["n_outliers"])
+        assert (
+            paired[g]["median_approx"],
+            paired[g]["mad_approx"],
+            paired[g]["n_outliers_approx"],
+        ) == (approx[g]["median"], approx[g]["mad"], approx[g]["n_outliers"])
+    assert paired["b"]["n_values"] == len(B)  # NULL not counted
