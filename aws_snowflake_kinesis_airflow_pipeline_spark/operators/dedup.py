@@ -139,7 +139,9 @@ def doc_shingles_with_prefix(
         F.array_distinct(adaptive_shingles(text_col, k, k_chars))
     )
     n = F.size(sorted_sh)
-    ceil_tn = F.floor((F.lit(tn) * n + 9999) / 10000).cast("int")
+    ceil_tn = F.floor(
+        (F.lit(tn) * n.cast("bigint") + 9999) / 10000
+    ).cast("int")
     hash_all = lambda arr: F.transform(arr, lambda s: F.xxhash64(s))  # noqa: E731
     return _spread(df.select(id_col, text_col), id_col).select(
         id_col,
@@ -180,6 +182,16 @@ def _posting_pairs(postings: DataFrame) -> DataFrame:
     ).select("p.id1", "p.id2")
 
 
+def _threshold_t5(threshold: float) -> int:
+    """The integer admission bound shared by every Jaccard prefilter: the
+    shipped comparison is ``round(j, 4) >= t``, which admits j down to
+    t - 5e-5, so prefilters must test against ``t*100000 - 5`` (integer —
+    float ceil of 0.8*5 differs across engines). Centralized so the
+    length filter and the df-prefix filter can never disagree about which
+    pairs are admissible."""
+    return round(threshold * 100000) - 5
+
+
 def _sized_posting_pairs(postings: DataFrame, threshold: float) -> DataFrame:
     """:func:`_posting_pairs` with the row-local LENGTH FILTER: ``ids``
     holds struct(n_sh, id) sorted ascending, so for a pair (x, y) with
@@ -193,11 +205,13 @@ def _sized_posting_pairs(postings: DataFrame, threshold: float) -> DataFrame:
     filter counts capped intersections against FULL sizes, and
     m_capped <= m <= n_min keeps the implication intact.
 
-    The guard mirrors the df-prefix branch: the shipped filter is
-    round(j, 4) >= t, admitting j down to t - 5e-5, so the ratio test
-    uses integer t*100000 - 5 — no engine can disagree through float
-    rounding."""
-    t5 = round(threshold * 100000) - 5
+    The guard mirrors the df-prefix branch (shared :func:`_threshold_t5`):
+    the shipped filter is round(j, 4) >= t, admitting j down to t - 5e-5,
+    so the ratio test uses integer t*100000 - 5 — no engine can disagree
+    through float rounding. Operands are cast to long first: n_sh is
+    IntegerType and int32 * 100000 overflows (ANSI mode: job-killing
+    exception) for documents beyond ~21k shingles."""
+    t5 = _threshold_t5(threshold)
     return (
         postings.select(
             F.explode(
@@ -216,7 +230,8 @@ def _sized_posting_pairs(postings: DataFrame, threshold: float) -> DataFrame:
                                     F.greatest(x["id"], y["id"]).alias("id2"),
                                 ),
                             ),
-                            lambda p: p["n1"] * 100000 >= F.lit(t5) * p["n2"],
+                            lambda p: p["n1"].cast("bigint") * 100000
+                            >= F.lit(t5) * p["n2"].cast("bigint"),
                         ),
                     )
                 )
@@ -357,9 +372,9 @@ def ngram_jaccard_pairs(
                 F.collect_list(F.struct(F.col("sdf"), F.col("shingle")))
             ).alias("arr")
         )
-        t5 = round(threshold * 100000) - 5
+        t5 = _threshold_t5(threshold)
         alpha = F.floor(
-            (F.lit(t5) * F.col("n_sh") + 99999) / 100000
+            (F.lit(t5) * F.col("n_sh").cast("bigint") + 99999) / 100000
         ).cast("int")
         pre = (
             per_doc_capped.join(full_sizes, id_col)

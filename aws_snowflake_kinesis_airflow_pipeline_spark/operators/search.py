@@ -168,12 +168,18 @@ def _rank_window(id_col: str):
     # The window input is already .limit(k)'d (<= k rows), so a global
     # window is safe — but an UNPARTITIONED one logs WindowExec's
     # move-everything warning, which would mask a real unbounded global
-    # window introduced elsewhere. Partitioning by the constant id*0
-    # (fold-proof: a bare lit(0) is stripped by EliminateWindowPartitions,
-    # and col*0 can't fold because NULL*0 is NULL) keeps the identical
-    # single-partition execution with the partition declared — silent.
+    # window introduced elsewhere. Partition by a fold-proof, TYPE-SAFE
+    # constant: length(cast(id as string)) * 0 wrapped in coalesce — a
+    # bare lit(0) is stripped by EliminateWindowPartitions, an arithmetic
+    # id*0 crashes under ANSI for string ids and NULL ids would split into
+    # a second partition; cast-to-string is valid for every type and the
+    # coalesce pins NULLs to the same single partition. Identical
+    # single-partition execution, partition declared, warning silent.
     # Boundedness is pinned by test_rank_window_input_is_pre_limited.
-    return Window.partitionBy(F.col(id_col) * F.lit(0)).orderBy(
+    const = F.coalesce(
+        F.length(F.col(id_col).cast("string")), F.lit(0)
+    ) * F.lit(0)
+    return Window.partitionBy(const).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )
 

@@ -381,14 +381,18 @@ def c6_cosine_topk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: The planted needle: an exact copy of the query vector under a fresh id.
-#: Any ANN structure worth the name must return it at rank 1 — IVF because
-#: an identical vector lands in the query's own (always-probed) cell, PQ
-#: because its per-subspace codes coincide with the query's ADC-nearest
-#: codes. This is deterministic on ANY corpus, unlike recall@k, which on
-#: the isotropic synthetic embeddings is inherently ~scan-fraction (the
-#: top-10 of a noise corpus is itself noise); the loose recall floor below
-#: documents that reality, while test_clustering_ivf/test_pq pin >= 0.9
-#: recall on clustered fixtures where neighbors are real.
+#: IVF must return it at RANK 1 — an identical vector lands in the query's
+#: own (always-probed) cell and true cosine 1.0 is unbeatable, on ANY
+#: corpus. PQ's guarantee is deliberately weaker — IN the top-k: ADC ranks
+#: by the score of each document's own quantization, and another document's
+#: codes can in principle reconstruct marginally better-aligned than the
+#: needle's, so rank 1 is near-certain but not a theorem; top-k admission
+#: of an exact duplicate is the honest quantization-robust invariant.
+#: Recall@k itself is unboundable tightly here: on the isotropic synthetic
+#: embeddings it is inherently ~scan-fraction (the top-10 of a noise corpus
+#: is itself noise); the loose floor below documents that reality, while
+#: test_clustering_ivf/test_pq pin >= 0.9 recall on clustered fixtures
+#: where neighbors are real.
 _NEEDLE_ID = -1
 _C15_RECALL_FLOOR = 0.2
 
@@ -397,7 +401,7 @@ _C15_RECALL_FLOOR = 0.2
     "c15_cosine_topk_ivf",
     oracle=f"""
     SELECT 'ivf' AS op, CAST(10 AS BIGINT) AS n_results,
-           TRUE AS needle_at_rank1, TRUE AS recall_ok
+           TRUE AS needle_ok, TRUE AS recall_ok
     UNION ALL
     SELECT 'pq', CAST(10 AS BIGINT), TRUE, TRUE
     """,
@@ -405,18 +409,21 @@ _C15_RECALL_FLOOR = 0.2
     "fraction n_probe/n_clusters) + §2 B32 product quantization (ADC "
     "top-k over m-byte codes, JVM-only scoring), one tagged pack; the "
     "oracle bounds per-branch summary booleans (b8 sketch-band pattern): "
-    "a planted exact-duplicate needle must come back at rank 1 and "
-    "recall@10 vs the exact scan must clear the documented floor",
+    "the planted exact-duplicate needle must come back at rank 1 (ivf — "
+    "true cosine 1.0 is unbeatable) / in the top-k (pq — ADC rank 1 is "
+    "not a theorem under quantization), and recall@10 vs the exact scan "
+    "must clear the documented floor",
 )
 def c15_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF and PQ ANN over embeddings + a planted needle, reduced to the
-    oracle-boundable summary: (n_results, needle_at_rank1, recall_ok) per
+    oracle-boundable summary: (n_results, needle_ok, recall_ok) per
     branch. Detail rows (ids + scores) stay available through the
     operators and the c6 exact/LSH pack; here the driver hash pins the
     invariants approximation cannot excuse — result cardinality, retrieval
-    of a planted exact duplicate at rank 1, and a recall floor vs the
-    brute-force scan computed in the same plan (10-row frames joined, no
-    driver-side comparison)."""
+    of a planted exact duplicate (rank 1 for IVF, top-k admission for PQ
+    — see the needle note above), and a recall floor vs the brute-force
+    scan computed in the same plan (10-row frames joined, no driver-side
+    comparison)."""
     base = _emb(spark, sf_dir).select("vec_id", "embedding")
     qvec = [
         float(x)
@@ -478,9 +485,10 @@ def c15_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("op")
         .agg(
             F.count("*").cast("long").alias("n_results"),
-            F.max((F.col("rk") == 1) & (F.col("vec_id") == _NEEDLE_ID)).alias(
-                "needle_at_rank1"
-            ),
+            F.max(
+                (F.col("vec_id") == _NEEDLE_ID)
+                & ((F.col("op") == "pq") | (F.col("rk") == 1))
+            ).alias("needle_ok"),
             (
                 F.count("exact_id") / F.lit(10.0) >= F.lit(_C15_RECALL_FLOOR)
             ).alias("recall_ok"),

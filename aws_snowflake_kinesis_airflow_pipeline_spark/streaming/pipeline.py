@@ -97,13 +97,23 @@ class IngestPipeline:
         return self.spark.read.parquet(self.summary_path)
 
     def _heal_summary_swap(self) -> None:
-        """Finish a refresh interrupted between 'remove old' and 'promote
-        staging': the staging dir holds a complete committed summary, so
-        promoting it is always safe (same crash-healing discipline as
-        operators/incremental.py's index compaction swap)."""
+        """Finish a refresh interrupted mid-swap. The swap is two atomic
+        renames (old -> aside, staging -> live) followed by deleting the
+        aside, so every crash point leaves either the old or the staged
+        directory INTACT under a well-known name — never a partially
+        deleted live dir (the rmtree-then-rename form had exactly that
+        torn window). Heal order: a complete staging copy wins (it is
+        the newer summary); otherwise restore the aside; a leftover
+        aside next to a live dir is post-promote garbage."""
         staging = self.summary_path + "._staging"
-        if not os.path.exists(self.summary_path) and os.path.isdir(staging):
-            os.replace(staging, self.summary_path)
+        aside = self.summary_path + "._old"
+        if not os.path.exists(self.summary_path):
+            if os.path.isdir(staging):
+                os.replace(staging, self.summary_path)
+            elif os.path.isdir(aside):
+                os.replace(aside, self.summary_path)
+        if os.path.exists(self.summary_path) and os.path.isdir(aside):
+            shutil.rmtree(aside, ignore_errors=True)
 
     # -- the per-batch body (the DAG's task chain, in order) --------------
 
@@ -252,14 +262,20 @@ class IngestPipeline:
             out = new_part
         # Write-temp-and-swap instead of in-place overwrite: the plan reads
         # the old directory, so writing it in place would truncate its own
-        # input; the old fix collect()ed the table through the driver —
-        # bounded (dates x event types) but growing with history. Staging
-        # keeps every row executor-side at any scale; the swap window is
-        # healed by _heal_summary_swap.
+        # input; the previous fix collect()ed the table through the driver
+        # — bounded (dates x event types) but growing with history.
+        # Staging keeps every row executor-side at any scale. The swap is
+        # two atomic renames (never an rmtree of the live dir, whose torn
+        # middle state a crash could serve as truth); every crash point
+        # leaves a complete copy under a known name for _heal_summary_swap.
         staging = self.summary_path + "._staging"
+        aside = self.summary_path + "._old"
         out.write.mode("overwrite").parquet(staging)
-        shutil.rmtree(self.summary_path, ignore_errors=True)
+        shutil.rmtree(aside, ignore_errors=True)  # stale garbage only
+        if os.path.exists(self.summary_path):
+            os.replace(self.summary_path, aside)
         os.replace(staging, self.summary_path)
+        shutil.rmtree(aside, ignore_errors=True)
 
     # -- query lifecycle --------------------------------------------------
 

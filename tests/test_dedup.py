@@ -524,3 +524,24 @@ def test_df_prefix_filter_matches_grouped_capped_path(spark, sf_dir):
     hotdocs = spark.createDataFrame(rows, "doc_id long, text string")
     g, p = both(hotdocs, 0.3, 5)
     assert g == p
+
+
+def test_length_filter_survives_int32_scale_documents(spark):
+    """The size-ratio prefilter multiplies shingle counts by 100000; with
+    int32 operands a document beyond ~21474 shingles overflowed (ANSI
+    mode: job-killing ARITHMETIC_OVERFLOW). Operands are cast to long —
+    a giant doc plus a near-duplicate pair must come through exactly."""
+    big = " ".join(f"tok{i}" for i in range(21600))
+    rows = [
+        (1, big),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "alpha beta gamma delta epsilon zeta eta"),
+    ]
+    out = dedup.ngram_jaccard_pairs(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "doc_id",
+        "text",
+        threshold=0.8,
+        max_doc_freq=100,
+    ).collect()
+    assert [(r["id1"], r["id2"]) for r in out] == [(2, 3)]

@@ -620,3 +620,39 @@ def test_interval_join_stream_equals_batch(spark, tmp_path):
     # (click@0 is exactly max_lag ago: half-open excludes), purchase@55 <- click@40
     per_user = sum(1 for (u, _, _) in want if u == 1)
     assert per_user == 2 and len(want) == 4
+
+
+def test_summary_swap_heals_every_crash_point(spark, tmp_path):
+    """The summary refresh swap is two atomic renames; every crash point
+    must leave a complete copy that _heal_summary_swap serves — never a
+    torn directory as truth."""
+    import shutil
+
+    warehouse = str(tmp_path / "wh_heal")
+    pipe = IngestPipeline(spark, str(tmp_path / "unused_landing"), warehouse)
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 1), "view", 1)],
+        "event_date date, event_type string, event_count long",
+    )
+    df.write.parquet(pipe.summary_path)
+
+    # Crash between 'old -> aside' and 'staging -> live': live missing,
+    # staging (newer, complete) and aside both present -> staging wins,
+    # aside cleaned.
+    staging, aside = pipe.summary_path + "._staging", pipe.summary_path + "._old"
+    df.withColumn("event_count", F.lit(2)).write.parquet(staging)
+    os.replace(pipe.summary_path, aside)
+    assert pipe.summary_table().first()["event_count"] == 2
+    assert not os.path.exists(aside) and not os.path.exists(staging)
+
+    # Crash between 'old -> aside' and the staging write (no staging):
+    # aside restored.
+    os.replace(pipe.summary_path, aside)
+    assert pipe.summary_table().first()["event_count"] == 2
+    assert not os.path.exists(aside)
+
+    # Crash after promote, before aside delete: live intact, aside is
+    # post-promote garbage -> removed, live untouched.
+    df.withColumn("event_count", F.lit(99)).write.parquet(aside)
+    assert pipe.summary_table().first()["event_count"] == 2
+    assert not os.path.exists(aside)
