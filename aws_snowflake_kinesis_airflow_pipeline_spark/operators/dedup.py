@@ -58,7 +58,15 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     keys first if that distinction matters.
     """
     others = [c for c in df.columns if c not in key_cols and c != id_col]
-    keys = [F.col(c) for c in key_cols]
+    # Each key contributes an explicit null-flag child alongside the value:
+    # xxhash64 skips NULL children STRUCTURALLY (the hash state is simply
+    # not advanced), so without the flags, multi-column keys differing
+    # only in null placement — ('a', NULL) vs (NULL, 'a') — collide with
+    # certainty and distinct rows silently merge.
+    keys = []
+    for c in key_cols:
+        keys.append(F.isnull(c).cast("int"))
+        keys.append(F.col(c))
     fp = F.concat(
         F.xxhash64(F.lit(0), *keys).cast("string"),
         F.lit(":"),
@@ -130,17 +138,23 @@ def doc_shingles_with_prefix(
 
     Portability constraints baked in: the order is the shingle string
     (not its xxhash64) so a DuckDB oracle can replay discoverability with
-    a plain ORDER BY, and ceil(t·n) is integer arithmetic on
-    ``round(t*10000)`` so no engine ever disagrees about a prefix length
-    through float rounding (0.8*5 is 4.0000000000000002 in binary —
-    a float ceil would be 5 in one engine and 4 in another)."""
-    tn = round(threshold * 10000)
+    a plain ORDER BY, and the prefix length is integer arithmetic on
+    :func:`_threshold_t5` so no engine ever disagrees through float
+    rounding (0.8*5 is 4.0000000000000002 in binary — a float ceil would
+    be 5 in one engine and 4 in another). The t*100000-5 relaxation is
+    REQUIRED for losslessness, not just parity: the shipped filter admits
+    round(j,4) >= t, i.e. j down to t - 5e-5, and a prefix sized with the
+    unrelaxed ceil(t*n) can miss exactly those boundary pairs (|A|=39998
+    ⊂ |B|=50000 at t=0.8: j=0.79996 rounds in, but m=39998 <
+    ceil(0.8*50000)=40000 so B's unrelaxed prefix need not expose any
+    shared shingle)."""
+    t5 = _threshold_t5(threshold)
     sorted_sh = F.array_sort(
         F.array_distinct(adaptive_shingles(text_col, k, k_chars))
     )
     n = F.size(sorted_sh)
     ceil_tn = F.floor(
-        (F.lit(tn) * n.cast("bigint") + 9999) / 10000
+        (F.lit(t5) * n.cast("bigint") + 99999) / 100000
     ).cast("int")
     hash_all = lambda arr: F.transform(arr, lambda s: F.xxhash64(s))  # noqa: E731
     return _spread(df.select(id_col, text_col), id_col).select(
@@ -812,7 +826,16 @@ def band_buckets(
     (:func:`minhash_lsh_pairs`) and the persisted-index probe
     (operators/incremental.py) both derive from this one definition, so an
     index written yesterday collides correctly with a batch bucketed
-    today."""
+    today. Divisibility is validated: silently truncating to
+    ``num_hashes // bands`` rows would drop trailing signature positions
+    and quietly replace the caller's intended S-curve with a different
+    one."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"band_buckets: num_hashes={num_hashes} not divisible by "
+            f"bands={bands}; {num_hashes % bands} signature positions "
+            "would be silently ignored"
+        )
     rows = num_hashes // bands
     band_structs = [
         F.struct(

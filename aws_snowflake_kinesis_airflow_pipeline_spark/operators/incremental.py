@@ -555,10 +555,12 @@ def incremental_embedding_near_dups(
         return (
             cand.join(va.hint("shuffle_hash"), side_a)
             .join(vb.hint("shuffle_hash"), side_b)
-            # Round AFTER the exact kernel, matching the in-bucket batch
-            # operator's np.round(..., 4) so the two paths agree on
-            # threshold boundaries.
-            .withColumn("cosine", F.round(cos("v1", "v2"), 4))
+            # Round AFTER the exact kernel. bround, not round: the batch
+            # operator rounds with np.round (HALF_EVEN), and Spark's
+            # F.round is HALF_UP — on an exactly-representable boundary
+            # (e.g. normalized dot 0.78125) the two would disagree by one
+            # ulp of the 4-dp grid and break batch-vs-incremental parity.
+            .withColumn("cosine", F.bround(cos("v1", "v2"), 4))
             .filter(F.col("cosine") >= threshold)
             .select(
                 F.least(side_a, side_b).alias("id1"),

@@ -29,6 +29,8 @@ the operator's oracle covers every byte of the rebuilt documents.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -52,10 +54,19 @@ def drop_duplicate_lines(
     # coalesce: split(NULL) is NULL and posexplode of NULL emits no rows,
     # which would drop NULL-text documents from the output entirely —
     # the contract is one row per input document, clean_text = ''.
+    # re.escape: F.split takes a Java REGEX while array_join below emits
+    # the separator literally; an unescaped metacharacter separator
+    # (e.g. '|' = empty alternation) would split at every character and
+    # reassemble garbage. Python's re.escape emits backslash-punctuation
+    # escapes Java regex accepts.
     lines = df.select(
         F.col(id_col),
         F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), F.lit(line_sep), -1)
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")),
+                F.lit(re.escape(line_sep)),
+                -1,
+            )
         ).alias("pos", "line"),
     )
     hot = (

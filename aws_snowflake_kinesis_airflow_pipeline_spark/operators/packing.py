@@ -90,6 +90,16 @@ def pack_sequences(
                 }
             )
 
+    # Fail fast on non-integral ids: _PACK_SCHEMA carries doc_id as long,
+    # and a silent cast would either kill the job under ANSI mode (string
+    # UUIDs) or null out every returned doc_id — an unmappable packing.
+    id_kind = df.schema[id_col].dataType.typeName()
+    if id_kind not in ("long", "integer", "short", "byte"):
+        raise TypeError(
+            f"pack_sequences: id_col {id_col!r} must be an integral type "
+            f"(got {id_kind}); map string ids to a surrogate long first "
+            "(e.g. xxhash64) and join back after packing"
+        )
     n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     if hash_fn == "md5":
         from .sampling import hash_bucket
@@ -142,6 +152,6 @@ def mix_corpus(
     b = hash_bucket(key_col, buckets)
     cond = None
     for s, frac in fractions.items():
-        p = (F.col(source_col) == s) & (b < int(frac * buckets))
+        p = (F.col(source_col) == s) & (b < round(frac * buckets))
         cond = p if cond is None else (cond | p)
     return df.filter(cond)

@@ -32,10 +32,12 @@ def with_split(
     buckets: int = 1000,
 ) -> DataFrame:
     """Attach a 'split' column ('train'/'val'/'test') keyed on content hash.
-    Fractions are exact to 1/buckets granularity."""
+    Fractions are exact to 1/buckets granularity (round, not int: the
+    binary product 0.57*10000 is 5699.999..., and truncation would
+    silently keep one bucket fewer than the stated grid value)."""
     b = hash_bucket(key_col, buckets)
-    val_hi = int(val_fraction * buckets)
-    test_hi = val_hi + int(test_fraction * buckets)
+    val_hi = round(val_fraction * buckets)
+    test_hi = val_hi + round(test_fraction * buckets)
     return df.withColumn(
         "split",
         F.when(b < val_hi, "val")
@@ -49,7 +51,7 @@ def deterministic_sample(
 ) -> DataFrame:
     """Keep ~fraction of rows, chosen by content hash — stable across runs,
     partitionings, and engines (unlike df.sample)."""
-    return df.filter(hash_bucket(key_col, buckets) < int(fraction * buckets))
+    return df.filter(hash_bucket(key_col, buckets) < round(fraction * buckets))
 
 
 def stratified_deterministic_sample(
@@ -62,7 +64,7 @@ def stratified_deterministic_sample(
     b = hash_bucket(key_col, buckets)
     cond = None
     for stratum, frac in fractions.items():
-        p = (F.col(stratum_col) == stratum) & (b < int(frac * buckets))
+        p = (F.col(stratum_col) == stratum) & (b < round(frac * buckets))
         cond = p if cond is None else (cond | p)
     # NULL strata behave like unlisted ones (kept whole): `~isin` alone
     # evaluates NULL for NULL values and filter() would silently drop them.

@@ -205,9 +205,9 @@ def tf_idf_vectors(
     toks = docs.select(F.col(id_col), _lower_tokens(text_col).alias("_toks"))
     n_docs = toks.agg(F.count("*").alias("_n"))
 
-    exploded = toks.select(id_col, F.explode_outer("_toks").alias("term")).where(
-        F.col("term").isNotNull()
-    )
+    # Plain explode: empty docs contribute no postings by design
+    # (explode_outer + isNotNull computed the same thing in two nodes).
+    exploded = toks.select(id_col, F.explode("_toks").alias("term"))
     # (doc, term) tf — one shuffle over corpus tokens with map-side combine.
     # Materialized for the same reason as bm25_scores' postings: tf feeds
     # both the vocabulary df aggregate and the weighting join. Unlike BM25

@@ -87,8 +87,14 @@ def semantic_dedup_pairs(
             }
         )
 
+    # NULL / wrong-length vectors get a NULL ivf_cluster from
+    # ivf_assign_udf; without this filter they all land in ONE pandas
+    # group whose ragged tolist() kills np.linalg.norm — the sibling
+    # embedding operators degrade gracefully on the same inputs, and an
+    # invalid vector can never be a semantic duplicate anyway.
     return (
-        indexed.groupBy("ivf_cluster")
+        indexed.filter(F.col("ivf_cluster").isNotNull())
+        .groupBy("ivf_cluster")
         .applyInPandas(per_cluster, "id1 long, id2 long, cosine double")
     )
 

@@ -14,6 +14,8 @@ Two paths, same contract (top-k neighbors of a query vector):
 
 from __future__ import annotations
 
+from collections import Counter
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -289,9 +291,15 @@ def ivf_index(
     fit_df = fit_df.orderBy(
         F.xxhash64(F.col("_v"), F.lit(seed))
     ).limit(max_fit_rows)
-    sample = np.asarray(
-        fit_df.toPandas()["_v"].tolist(), dtype=np.float64
-    )
+    rows = fit_df.toPandas()["_v"].tolist()
+    # Wrong-length vectors (data corruption) would make the sample ragged
+    # and kill np.asarray; fit on the majority dimension — assignment
+    # already maps off-dimension vectors to a NULL cluster downstream.
+    if rows:
+        lens = [len(v) for v in rows]
+        dim = Counter(lens).most_common(1)[0][0]
+        rows = [v for v in rows if len(v) == dim]
+    sample = np.asarray(rows, dtype=np.float64)
     centers = _kmeans_fit(sample, n_clusters, seed)
     assign = ivf_assign_udf(centers)
     indexed = df.withColumn(

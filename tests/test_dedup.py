@@ -545,3 +545,25 @@ def test_length_filter_survives_int32_scale_documents(spark):
         max_doc_freq=100,
     ).collect()
     assert [(r["id1"], r["id2"]) for r in out] == [(2, 3)]
+
+
+def test_exact_dedup_distinguishes_null_placement(spark):
+    """xxhash64 skips NULL children structurally, so without explicit
+    null-flag children the keys ('a', NULL) and (NULL, 'a') hash equal
+    and exact_dedup silently merged distinct rows."""
+    rows = [(1, "a", None), (2, None, "a"), (3, "a", None)]
+    out = dedup.exact_dedup(
+        spark.createDataFrame(rows, "id long, k1 string, k2 string"),
+        key_cols=["k1", "k2"],
+        id_col="id",
+    )
+    got = sorted((r["id"], r["k1"], r["k2"]) for r in out.collect())
+    assert got == [(1, "a", None), (2, None, "a")]
+
+
+def test_band_buckets_rejects_indivisible_bands(spark):
+    import pytest as _pytest
+
+    sig = spark.createDataFrame([(1, [0] * 64)], "doc_id long, mins array<long>")
+    with _pytest.raises(ValueError, match="not divisible"):
+        dedup.band_buckets(sig, "doc_id", num_hashes=64, bands=12)

@@ -80,3 +80,18 @@ def test_deterministic_shuffle_stable_and_seed_dependent(spark):
     assert order1 != list(range(200))
     order2 = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", seed=2).collect()]
     assert order2 != order1
+
+
+def test_fraction_grid_is_round_not_truncate(spark):
+    """0.57*10000 is 5699.999... in binary; int() kept one bucket fewer
+    than the stated 1/buckets grid. round() honors the documented
+    'exact to 1/buckets granularity' contract."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.sampling import (
+        deterministic_sample,
+        hash_bucket,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], "k long")
+    kept = deterministic_sample(df, "k", fraction=0.57, buckets=10000)
+    want = df.filter(hash_bucket("k", 10000) < 5700).count()
+    assert kept.count() == want

@@ -135,3 +135,23 @@ def test_partition_invariance(spark, emb):
 def test_threshold_validation(spark, emb):
     with pytest.raises(ValueError):
         semantic_dedup_pairs(emb, threshold=0.0)
+
+
+def test_null_and_ragged_vectors_are_skipped_not_fatal(spark):
+    """NULL / wrong-length embeddings all land in the NULL ivf cluster;
+    they must be excluded from pairing (an invalid vector cannot be a
+    semantic duplicate), not crash the pandas kernel."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.semdedup import (
+        semantic_dedup_pairs,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, None),
+        (4, None),
+        (5, [1.0, 0.0]),  # wrong length
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = semantic_dedup_pairs(df, n_clusters=2, threshold=0.95).collect()
+    assert [(r["id1"], r["id2"]) for r in pairs] == [(1, 2)]
