@@ -24,6 +24,8 @@ import unicodedata
 import pandas as pd
 from pyspark.sql import Column, functions as F
 
+from .text import WS_CLASS
+
 _FORMS = ("NFC", "NFKC", "NFD", "NFKD")
 
 #: Curly/typographic punctuation -> ASCII. `translate` is a 1:1 char map —
@@ -60,9 +62,13 @@ def standardize_punct(col: Column | str) -> Column:
 
 def collapse_whitespace(col: Column | str) -> Column:
     """Runs of whitespace -> one space, ends trimmed (the fingerprint
-    normalization, reusable standalone)."""
+    normalization, reusable standalone). Spelled with the engine-wide
+    WS_CLASS, not Java ``\\s``: Java's ``\\s`` includes vertical tab
+    where the DuckDB/RE2 oracles' does not, and a standalone caller (the
+    composed normalize_text strips \\x0B earlier, so it never sees the
+    difference) would get engine-divergent canonical strings."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+    return F.trim(F.regexp_replace(c, f"[{WS_CLASS}]+", " "))
 
 
 def normalize_text(col: Column | str, form: str = "NFKC") -> Column:

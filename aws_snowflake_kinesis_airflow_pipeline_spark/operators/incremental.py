@@ -78,6 +78,7 @@ def write_minhash_index(
     bands: int = 16,
     k: int = 3,
     mode: str = "overwrite",
+    exclude_set_ids: DataFrame | None = None,
 ) -> None:
     """Persist the two per-document artifacts incremental dedup needs:
 
@@ -94,23 +95,33 @@ def write_minhash_index(
     One pass over ``df``: shingle sets are computed once and reused for
     both signatures and the set store. ``mode="append"`` is the
     increment path (see :func:`append_to_index`).
+
+    WRITE ORDER IS THE CRASH CONTRACT: sets first, buckets second, so a
+    document visible in ``buckets`` is guaranteed verifiable in ``sets``
+    — buckets is the commit marker. Recovery probes (and replay guards)
+    must therefore key on ``buckets``: a crash between the two writes
+    leaves orphan set rows, which re-appends skip via
+    ``exclude_set_ids`` (the probe surface never saw the doc, so it is
+    correctly re-processed; only its set row must not double).
     """
     per_doc = doc_shingles(df, id_col, text_col, k).localCheckpoint()
     sig = minhash_signatures(
         df, id_col, text_col, num_hashes, k, per_doc=per_doc
+    )
+    sets = per_doc.select(id_col, "hs", _set_bucket(id_col))
+    if exclude_set_ids is not None:
+        sets = sets.join(exclude_set_ids, id_col, "left_anti")
+    (
+        sets.repartition("set_bucket")  # one writer wave per directory
+        .write.mode(mode)
+        .partitionBy("set_bucket")
+        .parquet(f"{path}/sets")
     )
     (
         band_buckets(sig, id_col, num_hashes, bands)
         .sortWithinPartitions("band_id", "band_hash")
         .write.mode(mode)
         .parquet(f"{path}/buckets")
-    )
-    (
-        per_doc.select(id_col, "hs", _set_bucket(id_col))
-        .repartition("set_bucket")  # one writer wave per directory
-        .write.mode(mode)
-        .partitionBy("set_bucket")
-        .parquet(f"{path}/sets")
     )
 
 
@@ -122,12 +133,24 @@ def append_to_index(
     num_hashes: int = 64,
     bands: int = 16,
     k: int = 3,
+    exclude_set_ids: DataFrame | None = None,
 ) -> None:
     """Add a batch's documents (normally :func:`incremental_dedup_insert`
     survivors) to an existing index. Append-only: hive partition append
-    creates no conflicts, and bucketing by id keeps fetch pruning exact."""
+    creates no conflicts, and bucketing by id keeps fetch pruning exact.
+    ``exclude_set_ids``: ids whose SET rows already exist (orphans from a
+    crash between the sets and buckets writes) — their sets are skipped,
+    their buckets still appended."""
     write_minhash_index(
-        df, id_col, text_col, path, num_hashes, bands, k, mode="append"
+        df,
+        id_col,
+        text_col,
+        path,
+        num_hashes,
+        bands,
+        k,
+        mode="append",
+        exclude_set_ids=exclude_set_ids,
     )
 
 

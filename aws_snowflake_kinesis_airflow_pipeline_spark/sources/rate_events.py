@@ -26,8 +26,13 @@ def _event_columns(df: DataFrame) -> DataFrame:
     price_arr = F.array(*[F.lit(p) for p in PRICES])
     # Deterministic pseudo-randomness from the monotonically increasing
     # rate value: reproducible runs, no RNG state on executors.
+    # pmod, not abs(hash) % n: abs(Long.MIN_VALUE) overflows under ANSI
+    # mode (probability 2^-64 per row per salt, but it would kill the
+    # whole streaming query); pmod is the overflow-free hash-to-index
+    # idiom used everywhere else in the engine.
     pick = lambda arr, salt: F.element_at(  # noqa: E731
-        arr, (F.abs(F.xxhash64(idx, F.lit(salt))) % F.size(arr) + 1).cast("int")
+        arr,
+        (F.pmod(F.xxhash64(idx, F.lit(salt)), F.size(arr)) + 1).cast("int"),
     )
     product = pick(prod_arr, 2)
     return df.select(
@@ -36,8 +41,12 @@ def _event_columns(df: DataFrame) -> DataFrame:
         ),
         F.col("timestamp").cast("timestamp_ntz").alias("event_timestamp"),
         pick(type_arr, 1).alias("event_type"),
-        F.concat(F.lit("user_"), ((F.abs(F.xxhash64(idx, F.lit(3))) % N_USERS) + 1)
-                 .cast("string")).alias("user_id"),
+        F.concat(
+            F.lit("user_"),
+            (F.pmod(F.xxhash64(idx, F.lit(3)), F.lit(N_USERS)) + 1).cast(
+                "string"
+            ),
+        ).alias("user_id"),
         F.to_json(
             F.struct(
                 product.alias("product_id"),

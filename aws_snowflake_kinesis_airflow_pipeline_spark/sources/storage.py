@@ -100,16 +100,27 @@ def merge_insert_new(
     new_rows.write.mode("append").parquet(target_path)
 
 
+def table_absent(exc: Exception) -> bool:
+    """True only for 'this parquet table effectively does not exist':
+    never created (PATH_NOT_FOUND) or a crashed first write left an
+    empty/markers-only directory (UNABLE_TO_INFER_SCHEMA). Treating the
+    latter as fatal would wedge ingestion permanently — a retry can never
+    succeed against a directory that exists but holds no data files.
+    Anything else (transient FS failure, torn file, permissions) must
+    propagate. THE one definition: streaming/pipeline.py and
+    streaming/dedup_ingest.py's read-or-absent probes both drifted from
+    hand-rolled copies of this marker set before it was shared."""
+    msg = str(exc)
+    return "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg
+
+
 def _read_target_keys(spark: SparkSession, path: str, key: str):
     """Key column of an existing parquet target; None when the target is
-    effectively absent. UNABLE_TO_INFER_SCHEMA counts as absent: a crashed
-    first write can leave an empty directory, and treating it as fatal
-    would wedge ingestion permanently."""
+    effectively absent (see :func:`table_absent`)."""
     try:
         return spark.read.parquet(path).select(key)
     except Exception as exc:
-        msg = str(exc)
-        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+        if table_absent(exc):
             return None
         raise
 

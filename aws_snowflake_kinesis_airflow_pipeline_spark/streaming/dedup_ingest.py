@@ -74,11 +74,12 @@ class NearDupIngest:
         self.admitted = 0
 
     def _existing_ids(self, path: str) -> DataFrame | None:
+        from ..sources.storage import table_absent
+
         try:
             return self.spark.read.parquet(path).select(self.id_col)
         except Exception as exc:
-            msg = str(exc)
-            if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            if table_absent(exc):
                 return None
             raise
 
@@ -148,15 +149,30 @@ class NearDupIngest:
             self.admitted += survivors.count()
             return
 
-        indexed_ids = self._existing_ids(f"{self.index_path}/sets")
+        # Replay guard keys on BUCKETS — the index's commit marker (sets
+        # are written first, buckets second; see write_minhash_index's
+        # crash contract). Guarding on sets would let a crash between the
+        # two writes permanently hide those docs from the probe surface:
+        # replay would skip them (their set rows exist) and their buckets
+        # would never be written.
+        indexed_ids = self._existing_ids(f"{self.index_path}/buckets")
         to_index = (
             survivors
             if indexed_ids is None
-            else survivors.join(indexed_ids, self.id_col, "left_anti")
+            else survivors.join(
+                indexed_ids.distinct(), self.id_col, "left_anti"
+            )
         )
         # Cheap short-circuit: replays usually have nothing to add, and
         # append_to_index would still run the full signature pass.
+        # localCheckpoint: to_index feeds the isEmpty probe, the index
+        # append AND the admitted count — three evaluations of the
+        # sets-scan + anti-join otherwise.
+        to_index = to_index.localCheckpoint()
         if not to_index.isEmpty():
+            # Orphan set rows (crash after the sets append, before the
+            # buckets append) must not double on replay.
+            set_ids = self._existing_ids(f"{self.index_path}/sets")
             append_to_index(
                 to_index,
                 self.id_col,
@@ -165,6 +181,9 @@ class NearDupIngest:
                 self.num_hashes,
                 self.bands,
                 self.k,
+                exclude_set_ids=(
+                    set_ids.distinct() if set_ids is not None else None
+                ),
             )
             self.admitted += to_index.count()
 

@@ -111,7 +111,10 @@ def _interval_seconds(spec: str) -> int:
     """'30 minutes' / '1 hour' -> seconds (the subset of INTERVAL syntax
     the bucketing path supports)."""
     n, unit = spec.strip().split()
-    return int(n) * _UNITS[unit.rstrip("s").lower()]
+    # lower() BEFORE rstrip: '30 MINUTES'.rstrip('s') keeps the uppercase
+    # S and crashed the batch path while the streaming path's
+    # INTERVAL-expression twin accepted the same spec case-insensitively.
+    return int(n) * _UNITS[unit.lower().rstrip("s")]
 
 
 def interval_join_hourly_counts(

@@ -74,11 +74,15 @@ class IngestPipeline:
 
     @staticmethod
     def _is_path_missing(exc: Exception) -> bool:
-        """True only for 'table not created yet'. Anything else (transient
-        FS failure, torn file, permission) must propagate: swallowing it
-        here would hand the anti-join an empty dedup target and re-insert
-        the whole batch as duplicates."""
-        return "PATH_NOT_FOUND" in str(exc)
+        """True only for 'table effectively absent' — delegates to the
+        shared sources/storage.py marker set (this used to be a narrower
+        hand-rolled copy that rejected UNABLE_TO_INFER_SCHEMA, so a torn
+        first events write wedged ingestion on every replay). Anything
+        else must propagate: swallowing it would hand the anti-join an
+        empty dedup target and re-insert the whole batch as duplicates."""
+        from ..sources.storage import table_absent
+
+        return table_absent(exc)
 
     def _read_events_table(self) -> DataFrame | None:
         """The events table, or None before the first successful insert."""
@@ -108,7 +112,14 @@ class IngestPipeline:
         staging = self.summary_path + "._staging"
         aside = self.summary_path + "._old"
         if not os.path.exists(self.summary_path):
-            if os.path.isdir(staging):
+            # Promote staging only if its write COMMITTED (_SUCCESS):
+            # on the first-ever refresh there is no live dir to rename
+            # aside, so 'live missing + staging present' can also mean a
+            # torn in-progress staging write — promoting that would serve
+            # a partial (or unreadable) summary as truth.
+            if os.path.isdir(staging) and os.path.exists(
+                os.path.join(staging, "_SUCCESS")
+            ):
                 os.replace(staging, self.summary_path)
             elif os.path.isdir(aside):
                 os.replace(aside, self.summary_path)
@@ -274,7 +285,14 @@ class IngestPipeline:
         shutil.rmtree(aside, ignore_errors=True)  # stale garbage only
         if os.path.exists(self.summary_path):
             os.replace(self.summary_path, aside)
-        os.replace(staging, self.summary_path)
+        try:
+            os.replace(staging, self.summary_path)
+        except FileNotFoundError:
+            # A concurrent summary_table() reader can run the heal between
+            # our two renames and promote staging itself; if live exists
+            # now, the swap is complete — just not by us.
+            if not os.path.exists(self.summary_path):
+                raise
         shutil.rmtree(aside, ignore_errors=True)
 
     # -- query lifecycle --------------------------------------------------

@@ -176,9 +176,18 @@ def dedup_within_watermark(
 ) -> DataFrame:
     """Stateful streaming dedup (B16): drop rows whose keys were already
     seen, with state evicted past the watermark horizon — the streaming
-    form of the reference's NOT-IN insert filter (J1) with bounded memory."""
-    return _with_watermark(events, ts_col, watermark).dropDuplicatesWithinWatermark(
-        key_cols
+    form of the reference's NOT-IN insert filter (J1) with bounded memory.
+
+    ``ts_col`` is cast back to TIMESTAMP_NTZ on the way out (the
+    watermark needs the TZ-aware type for state tracking, but every
+    consumer — the NTZ events table, unions with the batch twin — runs
+    on the engine-wide NTZ contract; see the module note on window
+    bounds)."""
+    deduped = _with_watermark(
+        events, ts_col, watermark
+    ).dropDuplicatesWithinWatermark(key_cols)
+    return deduped.withColumn(
+        ts_col, F.col(ts_col).cast("timestamp_ntz")
     )
 
 
