@@ -874,12 +874,15 @@ def c18_sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d JOIN fracs USING (source)
     WHERE CAST(CONCAT('0x', SUBSTR(md5(CAST(d.text AS VARCHAR)), 1, 8))
                AS UBIGINT) % 100000
-          < CAST(FLOOR(frac * 100000) AS UBIGINT)
+          < CAST(ROUND_EVEN(frac * 100000, 0) AS UBIGINT)
     GROUP BY source
     """,
     survey_ref="north-star corpus mixing (weighted source proportions via "
     "deterministic hash downsampling — binding-source scale + hash "
-    "selection reproduced in SQL)",
+    "selection reproduced in SQL; ROUND_EVEN matches Python round()'s "
+    "banker's rounding in mix_corpus — FLOOR would drop the boundary "
+    "bucket whenever frac*1e5 has fractional part >= 0.5, e.g. a 2/3 "
+    "fraction, which the fixture's equal source counts happen to avoid)",
 )
 def c19_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.packing import mix_corpus

@@ -131,6 +131,7 @@ def ref_dq_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, event_type, value
     FROM events
+    WHERE event_id IS NOT NULL
     ORDER BY event_id
     LIMIT 100
     """,
@@ -140,10 +141,14 @@ def ref_raw_data_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``SELECT * FROM raw_data LIMIT 100`` with a deterministic sort key
     (event_id is unique in the fixture). Spark compiles orderBy+limit to
     TakeOrderedAndProject — per-partition top-k then a k-row merge at the
-    driver, no global sort."""
+    driver, no global sort. The not-null guard keeps the top-100 cut
+    deterministic and engine-agnostic if a fixture refresh plants NULL
+    event_ids (FIXTURES.md §1.4 edge case): Spark sorts NULLS FIRST,
+    DuckDB NULLS LAST, and NULL-keyed rows tie arbitrarily."""
     return (
         _events(spark, sf_dir)
         .select("event_id", "user_id", "event_type", "value")
+        .filter(F.col("event_id").isNotNull())
         .orderBy("event_id")
         .limit(100)
     )

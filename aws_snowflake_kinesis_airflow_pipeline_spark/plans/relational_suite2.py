@@ -98,11 +98,25 @@ def b_subquery_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
            v.event_id AS view_event_id,
            v.value    AS view_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (
+      -- Pre-reduce same-(user, ts) ties to the MAX payload struct: the
+      -- Spark operator's documented deterministic tie-break. DuckDB's
+      -- native ASOF picks an unspecified row among equal-timestamp
+      -- matches, so without this the oracle is nondeterministic the day
+      -- a fixture carries tied view events.
+      SELECT user_id, ts,
+             (MAX(struct_pack(event_id := event_id, value := value)))
+               .event_id AS event_id,
+             (MAX(struct_pack(event_id := event_id, value := value)))
+               .value AS value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ) v
       ON p.user_id = v.user_id AND v.ts <= p.ts
     """,
     survey_ref="north-star as-of join (point-in-time enrichment; union+window "
-    "formulation, one shuffle, flat state)",
+    "formulation, one shuffle, flat state; oracle pre-reduces tied "
+    "right rows to the operator's MAX-struct tie-break before DuckDB's "
+    "native ASOF)",
 )
 def b_asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each purchase enriched with the user's latest at-or-before view event

@@ -91,7 +91,12 @@ def warm_python_workers(spark) -> None:
     def _noop(s: pd.Series) -> pd.Series:
         return s
 
-    spark.range(0, 32 * 64, 1, 32).select(_noop("id")).write.format(
+    # One partition per actual core (not a hardcoded 32): with
+    # SPARK_GRAFT_CPUS above 32, a 32-partition warm-up would pre-fork
+    # only 32 of N workers and the first measured UDF query would pay the
+    # remaining forks + Arrow init inside its timed window.
+    n = spark.sparkContext.defaultParallelism
+    spark.range(0, n * 64, 1, n).select(_noop("id")).write.format(
         "noop"
     ).mode("overwrite").save()
 
