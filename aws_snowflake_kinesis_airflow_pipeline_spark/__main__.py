@@ -18,11 +18,11 @@ def main(argv: list[str] | None = None) -> int:
 
     g = sub.add_parser("generate", help="write synthetic events to a landing zone")
     g.add_argument("--n", type=int, default=1000)
-    g.add_argument("--landing", required=True)
+    g.add_argument("--landing", default=None)
 
     i = sub.add_parser("ingest", help="run the ingest pipeline once (availableNow)")
-    i.add_argument("--landing", required=True)
-    i.add_argument("--warehouse", required=True)
+    i.add_argument("--landing", default=None)
+    i.add_argument("--warehouse", default=None)
 
     q = sub.add_parser("query", help="run a registry query and show results")
     q.add_argument("name")
@@ -44,19 +44,28 @@ def main(argv: list[str] | None = None) -> int:
     from .config import load_config
     from .session import get_spark
 
+    # cfg drives everything the CLI doesn't override: cpus sizes the
+    # session, landing/warehouse default from config (previously the
+    # loaded config was dead except for sf_dir — the config module
+    # advertised a resolution order the only production caller ignored).
     cfg = load_config()
-    spark = get_spark()
+    spark = get_spark(cpus=cfg.cpus)
 
     if args.cmd == "generate":
         from .sources.json_landing import write_landing_batch
         from .sources.rate_events import event_batch
 
-        write_landing_batch(event_batch(spark, args.n), args.landing)
-        print(f"wrote {args.n} events to {args.landing}")
+        landing = args.landing or cfg.landing_path
+        write_landing_batch(event_batch(spark, args.n), landing)
+        print(f"wrote {args.n} events to {landing}")
     elif args.cmd == "ingest":
         from .streaming.pipeline import IngestPipeline
 
-        pipe = IngestPipeline(spark, args.landing, args.warehouse)
+        pipe = IngestPipeline(
+            spark,
+            args.landing or cfg.landing_path,
+            args.warehouse or cfg.warehouse_path,
+        )
         pipe.run_once()
         print(
             f"batches={pipe.stats.batches} seen={pipe.stats.rows_seen} "

@@ -37,9 +37,17 @@ class PipelineConfig:
 def load_config(
     overrides: dict | None = None, config_file: str | None = None
 ) -> PipelineConfig:
-    """dict > env (SPARK_GRAFT_*) > json file > defaults."""
+    """dict > env (SPARK_GRAFT_*) > json file > defaults.
+
+    An explicitly named ``config_file`` that does not exist raises — a
+    typo'd path silently yielding defaults is the config bug operators
+    notice weeks later."""
     merged = dict(DEFAULTS)
-    if config_file and os.path.exists(config_file):
+    if config_file:
+        if not os.path.exists(config_file):
+            raise FileNotFoundError(
+                f"load_config: config_file {config_file!r} does not exist"
+            )
         with open(config_file) as f:
             merged.update(json.load(f))
     for key in DEFAULTS:

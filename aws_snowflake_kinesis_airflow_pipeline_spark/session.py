@@ -22,7 +22,12 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+def default_cpus() -> int:
+    """SPARK_GRAFT_CPUS resolved at CALL time, not import time — a test
+    or driver that sets the env var after importing the package must not
+    be silently ignored (config.load_config reads the same variable at
+    call time; the two paths must agree)."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
 def get_spark(
@@ -30,9 +35,11 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    cpus: int | None = None,
 ) -> SparkSession:
     """Build (or fetch) the session with the engine's standard config."""
-    cpus = int(DEFAULT_CPUS)
+    if cpus is None:
+        cpus = default_cpus()
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:

@@ -16,11 +16,16 @@ import traceback
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+# Repo root derived from this file, not hardcoded — the tool must work
+# from any checkout location.
+sys.path.insert(
+    0, __import__("os").path.dirname(__import__("os").path.dirname(
+        __import__("os").path.abspath(__file__)))
+)
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
+from aws_snowflake_kinesis_airflow_pipeline_spark.catalog import (  # noqa: E402
+    TABLES,
+)
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -38,17 +43,21 @@ def normalize(rows, colnames):
     rows_equal), not round-then-compare."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
 
-    def norm_cell(v):
+    def sort_key(v):
+        # Floats sort NUMERICALLY at the repo's 4-dp convention (both
+        # engines round query outputs to 4 dp, so the key is exact and
+        # cross-side order-stable); stringifying a 6-dp rounding flipped
+        # order across a digit-count boundary (9.9999994 vs 10.0 sorts
+        # '9.999999' after '10.0' lexicographically) and misaligned rows
+        # far beyond the compare tolerance.
         if isinstance(v, float):
             if math.isnan(v):
-                return "NaN"
-            return round(v, 6)
-        return v
+                return (2, "NaN")
+            return (1, round(v, 4))
+        return (1, str(v))
 
     out = [tuple(r[i] for i in order) for r in rows]
-    out.sort(
-        key=lambda t: tuple((x is None, str(norm_cell(x))) for x in t)
-    )
+    out.sort(key=lambda t: tuple((x is None, *sort_key(x)) for x in t))
     return out, [colnames[i] for i in order]
 
 
@@ -64,11 +73,12 @@ def cells_equal(a, b) -> bool:
     return a == b
 
 
+def row_equal(a, b) -> bool:
+    return len(a) == len(b) and all(cells_equal(x, y) for x, y in zip(a, b))
+
+
 def rows_equal(s_rows, o_rows) -> bool:
-    return all(
-        len(a) == len(b) and all(cells_equal(x, y) for x, y in zip(a, b))
-        for a, b in zip(s_rows, o_rows)
-    )
+    return all(row_equal(a, b) for a, b in zip(s_rows, o_rows))
 
 
 def main() -> int:
@@ -80,6 +90,11 @@ def main() -> int:
 
     spark = get_spark(shuffle_partitions=16)
     qs, oracles = e.queries(), e.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # A typo'd name must not silently verify nothing and exit 0.
+        print(f"unknown query name(s): {sorted(unknown)}")
+        return 2
     con = duck_con(sf_dir)
 
     n_pass = n_fail = 0
@@ -107,10 +122,7 @@ def main() -> int:
                 n_fail += 1
             elif not rows_equal(s_n, o_n):
                 diffs = [
-                    (a, b)
-                    for a, b in zip(s_n, o_n)
-                    if not (len(a) == len(b)
-                            and all(cells_equal(x, y) for x, y in zip(a, b)))
+                    (a, b) for a, b in zip(s_n, o_n) if not row_equal(a, b)
                 ][:3]
                 print(f"  [FAIL] {name}: value mismatch; first diffs: {diffs}")
                 n_fail += 1
