@@ -162,3 +162,64 @@ def test_in_stream_compaction_is_transparent(spark, streamed):
     assert count_parquet_files(spark, f"{ipath}/sets") < count_parquet_files(
         spark, f"{index}/sets"
     )
+
+
+def test_torn_index_append_heals_on_replay(spark, tmp_path):
+    """Crash contract of the two-directory index write: sets first,
+    buckets second (buckets = commit marker). Simulate the torn state —
+    a batch's SET rows appended but its buckets lost — then replay the
+    batch through process_batch: the docs must be re-indexed (buckets
+    appear), their set rows must NOT double, and a subsequent batch
+    containing their near-duplicates must be rejected."""
+    import shutil
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    w1 = docs.filter(F.col("doc_id") % 3 == 0).localCheckpoint()
+    w2 = docs.filter(F.col("doc_id") % 3 == 1).localCheckpoint()
+
+    ing = NearDupIngest(
+        spark,
+        index_path=str(tmp_path / "idx"),
+        corpus_path=str(tmp_path / "corpus"),
+    )
+    ing.process_batch(w1, 0)  # bootstrap
+    buckets_before = spark.read.parquet(f"{tmp_path}/idx/buckets")
+
+    # Simulate the torn append: run batch 2 fully, then roll BUCKETS (and
+    # the corpus guard) back to the pre-batch state, keeping batch-2's
+    # set rows — exactly what a crash between the sets and buckets
+    # appends leaves behind.
+    sets_snapshot = str(tmp_path / "sets_pre")
+    shutil.copytree(f"{tmp_path}/idx/sets", sets_snapshot)
+    corpus_snapshot = str(tmp_path / "corpus_pre")
+    shutil.copytree(f"{tmp_path}/corpus", corpus_snapshot)
+    bk = buckets_before.localCheckpoint()
+    ing.process_batch(w2, 1)
+    shutil.rmtree(f"{tmp_path}/idx/buckets")
+    bk.write.parquet(f"{tmp_path}/idx/buckets")
+    shutil.rmtree(f"{tmp_path}/corpus")
+    shutil.copytree(corpus_snapshot, f"{tmp_path}/corpus")
+
+    # Replay batch 2 against the torn index.
+    ing.process_batch(w2, 1)
+
+    sets = spark.read.parquet(f"{tmp_path}/idx/sets")
+    assert (
+        sets.groupBy("doc_id").count().filter(F.col("count") > 1).count()
+        == 0
+    ), "set rows doubled on replay"
+    buckets = spark.read.parquet(f"{tmp_path}/idx/buckets")
+    w2_surviving = spark.read.parquet(f"{tmp_path}/corpus").join(
+        w2.select("doc_id"), "doc_id", "left_semi"
+    )
+    missing = w2_surviving.join(
+        buckets.select("doc_id").distinct(), "doc_id", "left_anti"
+    ).count()
+    assert missing == 0, "replayed docs absent from the probe surface"
+
+    # The healed index must still reject near-duplicates of w2's docs:
+    # replay w2 once more under a new batch id — nothing new admitted.
+    before = spark.read.parquet(f"{tmp_path}/corpus").count()
+    ing.process_batch(w2, 2)
+    after = spark.read.parquet(f"{tmp_path}/corpus").count()
+    assert after == before
