@@ -47,7 +47,8 @@ from aws_snowflake_kinesis_airflow_pipeline_spark.operators.spandup import (
     remove_duplicate_spans,
 )
 
-BOILER = "all rights reserved copyright holder contact the legal department"
+BOILER = ("all rights reserved copyright holder contact the legal "
+          "department of this site for permission requests")
 EVAL_Q = "what is the capital of freedonia answer sylvania obviously"
 
 
@@ -86,8 +87,28 @@ def _fixture(spark):
         # cluster must land on one side of the split.
         (11, "colorless green ideas sleep furiously while the machine "
              "hums along the corridor forever"),
+        # 12-13: MID-similarity pair — a 10-token shared run (below the
+        # span-dedup window of 12, so it survives stage 3) with 2-token
+        # unique tails: trigram jaccard 8/12 = 0.667, between the split
+        # threshold (0.5) and the dedup threshold (0.8). BOTH survive
+        # dedup, so the leakage-safe split must cluster them onto one
+        # side — the non-vacuous straddle check (at equal thresholds
+        # every surviving pair is below the split threshold by
+        # construction and the invariant could never fire).
+        (12, "nine gray herons stand in silence beside the frozen lake "
+             "morning calm"),
+        (13, "nine gray herons stand in silence beside the frozen lake "
+             "evening hush"),
     ]
     return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def chain(spark):
+    return _run_chain(spark)
 
 
 def _run_chain(spark):
@@ -98,12 +119,14 @@ def _run_chain(spark):
     ).localCheckpoint()
     # 2. exact dedup on normalized text
     exact = exact_dedup(normed, key_cols=["text"], id_col="doc_id")
-    # 3. duplicate-span removal (9-token boilerplate run, window=6)
-    spanless = remove_duplicate_spans(exact, window=6).select(
+    # 3. duplicate-span removal: window=12 removes the 15-token
+    # boilerplate run while letting the 10-token mid-similarity run of
+    # docs 12/13 through to the near-dup/split stages.
+    spanless = remove_duplicate_spans(exact, window=12).select(
         "doc_id", F.col("clean_text").alias("text")
     )
     # 4. near-dup dedup (min-id canonical per cluster)
-    neared = near_dup_dedup(spanless, "doc_id", "text", threshold=0.7)
+    neared = near_dup_dedup(spanless, "doc_id", "text", threshold=0.8)
     # 5. quality gate
     gated = neared.filter(
         (token_count("text") >= 8) & (stopword_ratio("text") >= 0.05)
@@ -118,14 +141,16 @@ def _run_chain(spark):
         redacted, bench, k=3, max_contamination=0.3
     )
     # 8. leakage-safe split (pairs recomputed on the cleaned corpus)
+    # Split threshold BELOW the dedup threshold: pairs in (0.5, 0.8)
+    # survive dedup yet must not straddle the eval boundary.
     split = leakage_safe_split(
-        cleaned, val_fraction=0.3, threshold=0.7
+        cleaned, val_fraction=0.3, threshold=0.5
     )
     return {r["doc_id"]: r for r in split.collect()}
 
 
-def test_every_hazard_handled_and_clean_docs_survive(spark):
-    out = _run_chain(spark)
+def test_every_hazard_handled_and_clean_docs_survive(spark, chain):
+    out = chain
     ids = set(out)
 
     # unicode twins merged: min-id canonical survives, twin gone
@@ -167,20 +192,21 @@ def test_every_hazard_handled_and_clean_docs_survive(spark):
     assert n_pii == 0
 
 
-def test_near_dup_variants_share_a_split(spark):
-    out = _run_chain(spark)
-    # 11 was a third variant of the 5/6 cluster. If near_dup_dedup kept
-    # it (jaccard below threshold vs 5) it must share 5's split side;
-    # if it was deduped away, the invariant is vacuous for it — either
-    # way no surviving near-dup pair straddles the split, which
-    # leakage_safe_split recomputes on the cleaned corpus.
-    if 11 in out and 5 in out:
-        assert out[11]["split"] == out[5]["split"]
-        assert out[11]["split_key"] == out[5]["split_key"]
+def test_near_dup_pairs_never_straddle_the_split(spark, chain):
+    out = chain
+    # 12/13 sit between the split threshold (0.5) and the dedup
+    # threshold (0.8): both MUST survive dedup and MUST share a split
+    # side — asserted unconditionally so the invariant actually fires
+    # (with split threshold == dedup threshold, every surviving pair is
+    # below the split threshold by construction and this check would be
+    # structurally vacuous).
+    assert 12 in out and 13 in out
+    assert out[12]["split"] == out[13]["split"]
+    assert out[12]["split_key"] == out[13]["split_key"]
 
 
-def test_chain_is_deterministic(spark):
-    a = _run_chain(spark)
+def test_chain_is_deterministic(spark, chain):
+    a = chain
     b = _run_chain(spark)
     assert {k: (v["text"], v["split"]) for k, v in a.items()} == {
         k: (v["text"], v["split"]) for k, v in b.items()

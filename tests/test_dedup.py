@@ -446,6 +446,14 @@ def test_prefix_filter_cap_is_recall_only(spark):
         (i, "boiler plate header " + " ".join(rng.choices(vocab, k=10)))
         for i in range(30)
     ]
+    # Planted mid-similarity pairs so `exact` is provably non-empty (the
+    # random rows alone produced zero pairs at the threshold, making the
+    # subset assertion vacuously true — set() <= set()).
+    rows += [
+        (100, "shared one two three four five six seven eight tail_a x"),
+        (101, "shared one two three four five six seven eight tail_b y"),
+        (102, "shared one two three four five six seven eight tail_a x"),
+    ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     exact = {
         (r["id1"], r["id2"], r["jaccard"])
@@ -453,6 +461,7 @@ def test_prefix_filter_cap_is_recall_only(spark):
             docs, "doc_id", "text", threshold=0.3
         ).collect()
     }
+    assert exact, "fixture must produce pairs or the test is vacuous"
     pref = {
         (r["id1"], r["id2"], r["jaccard"])
         for r in dedup.ngram_jaccard_pairs(
@@ -460,6 +469,7 @@ def test_prefix_filter_cap_is_recall_only(spark):
             prefix_filter=True,
         ).collect()
     }
+    assert pref, "capped path found nothing — cap mis-sized for fixture"
     assert pref <= exact  # subset with identical values
 
     import pytest as _pytest

@@ -185,23 +185,28 @@ def test_torn_index_append_heals_on_replay(spark, tmp_path):
     ing.process_batch(w1, 0)  # bootstrap
     buckets_before = spark.read.parquet(f"{tmp_path}/idx/buckets")
 
-    # Simulate the torn append: run batch 2 fully, then roll BUCKETS (and
-    # the corpus guard) back to the pre-batch state, keeping batch-2's
-    # set rows — exactly what a crash between the sets and buckets
-    # appends leaves behind.
-    sets_snapshot = str(tmp_path / "sets_pre")
-    shutil.copytree(f"{tmp_path}/idx/sets", sets_snapshot)
-    corpus_snapshot = str(tmp_path / "corpus_pre")
-    shutil.copytree(f"{tmp_path}/corpus", corpus_snapshot)
+    # Simulate the REACHABLE torn state: the batch publishes to the
+    # corpus first, then appends sets, then crashes before the buckets
+    # append — so run batch 2 fully and roll back ONLY buckets. The
+    # corpus keeps batch-2's survivors (their publish committed) and
+    # sets keeps their rows; replay must skip the corpus publish via the
+    # id guard while still re-indexing the probe surface.
     bk = buckets_before.localCheckpoint()
+    corpus_mid = spark.read.parquet(f"{tmp_path}/corpus").count()
     ing.process_batch(w2, 1)
+    corpus_after_batch = spark.read.parquet(f"{tmp_path}/corpus").count()
+    assert corpus_after_batch > corpus_mid  # batch 2 admitted something
     shutil.rmtree(f"{tmp_path}/idx/buckets")
     bk.write.parquet(f"{tmp_path}/idx/buckets")
-    shutil.rmtree(f"{tmp_path}/corpus")
-    shutil.copytree(corpus_snapshot, f"{tmp_path}/corpus")
 
     # Replay batch 2 against the torn index.
     ing.process_batch(w2, 1)
+    # Corpus publish was idempotent: the already-published survivors were
+    # skipped by the NOT-IN guard, nothing doubled.
+    assert (
+        spark.read.parquet(f"{tmp_path}/corpus").count()
+        == corpus_after_batch
+    )
 
     sets = spark.read.parquet(f"{tmp_path}/idx/sets")
     assert (
