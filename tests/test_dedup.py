@@ -167,23 +167,6 @@ def test_capped_grouped_emission_matches_join_form(spark):
     assert len(ids_a) == 3  # df==cap boundary kept: C(3,2) tier-A pairs
 
 
-def test_extended_staging_schema_missing_fields_null(spark, tmp_path):
-    from aws_snowflake_kinesis_airflow_pipeline_spark.sources import (
-        json_landing,
-        rate_events,
-    )
-
-    landing = str(tmp_path / "landing_ext")
-    json_landing.write_landing_batch(rate_events.event_batch(spark, 20), landing)
-    ext = json_landing.read_landing_batch(
-        spark, landing, schema=json_landing.EXTENDED_STAGING_SCHEMA
-    ).cache()
-    assert ext.count() == 20
-    row = ext.first()
-    assert row["device_id"] is None and row["payload"] is None  # schema-on-read
-    assert row["event_id"] is not None
-
-
 def test_simhash_near_dups(spark):
     docs = make_docs(spark)
     sig = {
