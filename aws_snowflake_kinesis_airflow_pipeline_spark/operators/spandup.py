@@ -7,8 +7,12 @@ boilerplate paragraphs, license headers and quoted chunks repeat across
 otherwise-distinct documents, and a document-level Jaccard never fires on
 them. Span dedup fingerprints every ``window``-token run, finds runs that
 occur more than once in the corpus, and removes every occurrence except
-the canonical first (min (doc_id, position)) — so each duplicated passage
-survives exactly once in the training set.
+the canonical first (min (doc_id, position)). The guarantee is per-RUN,
+not per-passage: the canonical occurrence's own window is never in the
+removal set, but overlapping removals from OTHER duplicated runs (or a
+self-overlapping periodic repeat of the same run) may still truncate it —
+the same property as the Lee et al. reference implementation, and exactly
+what the pure-Python replay in tests/test_spandup.py pins.
 
 Contract (deterministic, replayed in pure Python by tests/test_spandup.py):
 
@@ -18,8 +22,12 @@ Contract (deterministic, replayed in pure Python by tests/test_spandup.py):
 * A document position ``p`` is *duplicated* when the corpus contains the
   identical ``window``-token run at some other (doc, pos) — equality by
   64-bit rolling hash of the per-token xxhash64 sequence (collision odds
-  ~n^2/2^64; a collision removes a non-duplicated span, never corrupts
-  surviving text).
+  ~n^2/2^64 for NON-ADVERSARIAL input only: the window hash is linear in
+  the per-token hashes, so token sequences whose hash differences cancel
+  collide deterministically — pass the window sum through a
+  splitmix64-style finalizer before the groupBy if adversarially crafted
+  web text is in scope; a collision removes a non-duplicated span, never
+  corrupts surviving text).
 * The canonical occurrence of each distinct run — min (doc_id, pos) — is
   NOT removed. All other occurrences' windows are removed: per document,
   overlapping removed windows ``[p, p+window)`` merge into maximal spans,

@@ -1351,6 +1351,35 @@ def _linedup_planted_values_sql() -> str:
     return f"(VALUES {rows}) AS planted(doc_id, text)"
 
 
+# Duplicate-SPAN dedup fixture (B47): the driver corpus's ~100-word
+# vocabulary makes a natural duplicated 8-token run astronomically unlikely
+# (≈(1/100)^8 per pair), so every contract case is planted with
+# corpus-impossible words: a 30-token passage shared by three docs (one
+# canonical survivor, one cross-doc removal, one doc carrying it twice —
+# both non-canonical), a periodic self-repeat whose removals truncate its
+# own canonical window (the documented per-RUN-not-per-passage semantics),
+# a sub-window doc that must pass through untouched, and a 12-token run in
+# six docs whose df=6 > max_df=4 means it is EXCLUDED (kept everywhere).
+_SPAN_W = 8
+_SPAN_MAX_DF = 4
+_SPAN_PASSAGE = " ".join(f"spanword{i:02d}" for i in range(30))
+_SPAN_HOT = " ".join(f"hotword{i:02d}" for i in range(12))
+_SPANDUP_PLANTED: list[tuple[int, str]] = [
+    (9_100_000, f"alpha0 alpha1 alpha2 {_SPAN_PASSAGE} omega0 omega1"),
+    (9_100_001, f"beta0 {_SPAN_PASSAGE} gamma0 gamma1 gamma2"),
+    (9_100_002, f"{_SPAN_PASSAGE} mid0 mid1 {_SPAN_PASSAGE}"),
+    (9_100_003, " ".join(["rep0 rep1 rep2 rep3"] * 4)),
+    (9_100_004, "tiny doc"),
+] + [
+    (9_100_005 + i, f"hotdoc{i} {_SPAN_HOT} tail{i}") for i in range(6)
+]
+
+
+def _spandup_planted_values_sql() -> str:
+    rows = ", ".join(f"({i}, '{t}')" for i, t in _SPANDUP_PLANTED)
+    return f"(VALUES {rows}) AS sp(doc_id, text)"
+
+
 @register(
     "c26_line_dedup",
     oracle=f"""
@@ -1378,34 +1407,150 @@ def _linedup_planted_values_sql() -> str:
              COUNT(*) AS n_kept
       FROM kept GROUP BY doc_id
     ),
-    totals AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
-    SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text,
-           t.n_lines, COALESCE(r.n_kept, 0) AS n_kept
+    totals AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id),
+    -- span branch (B47): replay the rolling-hash semantics by EXACT run
+    -- string (equal windows hash equal by construction; whitespace tokens
+    -- contain no spaces, so the single-space re-join is injective)
+    sbase AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id, text FROM {_spandup_planted_values_sql()}
+    ),
+    stoks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(COALESCE(text, ''), '\\s+'),
+                         x -> x <> '') AS t
+      FROM sbase
+    ),
+    sruns AS (
+      SELECT doc_id, pos,
+             ARRAY_TO_STRING(t[pos + 1 : pos + {_SPAN_W}], ' ') AS run
+      FROM (
+        SELECT doc_id, t,
+               UNNEST(RANGE(GREATEST(LEN(t) - {_SPAN_W} + 1, 0))) AS pos
+        FROM stoks
+      )
+    ),
+    smarked AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY run) AS df,
+             ROW_NUMBER() OVER (PARTITION BY run ORDER BY doc_id, pos) AS rn
+      FROM sruns
+    ),
+    sremoved AS (
+      SELECT doc_id, pos FROM smarked
+      WHERE df BETWEEN 2 AND {_SPAN_MAX_DF} AND rn > 1
+    ),
+    sisl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NOT NULL AND pos - prev <= {_SPAN_W}
+                      THEN 0 ELSE 1 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM (SELECT doc_id, pos,
+                   LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM sremoved)
+    ),
+    sspans AS (
+      SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + {_SPAN_W} AS e
+      FROM sisl GROUP BY doc_id, grp
+    ),
+    stokpos AS (
+      SELECT doc_id, UNNEST(t) AS tok, generate_subscripts(t, 1) - 1 AS i
+      FROM stoks
+    ),
+    skept AS (
+      SELECT tp.doc_id, tp.tok, tp.i
+      FROM stokpos tp
+      WHERE NOT EXISTS (SELECT 1 FROM sspans s
+                        WHERE s.doc_id = tp.doc_id
+                          AND s.s <= tp.i AND tp.i < s.e)
+    ),
+    srebuilt AS (
+      SELECT doc_id, ARRAY_TO_STRING(LIST(tok ORDER BY i), ' ') AS clean_text,
+             COUNT(*) AS n_kept
+      FROM skept GROUP BY doc_id
+    ),
+    sspanstats AS (
+      SELECT doc_id, COUNT(*) AS n_spans FROM sspans GROUP BY doc_id
+    )
+    SELECT 'line' AS branch, t.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           t.n_lines AS n_units, COALESCE(r.n_kept, 0) AS n_kept,
+           CAST(0 AS BIGINT) AS n_spans
     FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    UNION ALL
+    SELECT 'span' AS branch, st.doc_id,
+           COALESCE(sr.clean_text, '') AS clean_text,
+           LEN(st.t) AS n_units, COALESCE(sr.n_kept, 0) AS n_kept,
+           COALESCE(ss.n_spans, 0) AS n_spans
+    FROM stoks st
+    LEFT JOIN srebuilt sr USING (doc_id)
+    LEFT JOIN sspanstats ss USING (doc_id)
     """,
-    survey_ref="§2 B30 corpus-wide line-level dedup (boilerplate removal: "
-    "lines with document frequency > 3 stripped, documents reassembled in "
-    "original line order; planted multi-line docs make the stage "
-    "non-vacuous at every SF)",
+    survey_ref="§2 B30 corpus-wide line-level dedup ('line' branch: "
+    "boilerplate lines with document frequency > 3 stripped, documents "
+    "reassembled in original line order; planted multi-line docs make the "
+    "stage non-vacuous at every SF) + §2 B47 exact duplicate-span dedup "
+    "('span' branch: repeated 8-token runs removed except the canonical "
+    "min-(doc,pos) occurrence, overlap-merged spans, max_df exclusion; "
+    "planted cross-doc / in-doc / periodic-self-overlap / sub-window / "
+    "over-max_df cases exercise every contract clause)",
 )
 def c26_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boilerplate-line removal over documents + planted multi-line rows.
-    Two corpus-volume equality exchanges (line-df count, per-doc
-    reassembly) — the same budget as exact dedup, no pair blowup anywhere;
-    the oracle rebuilds every document byte-for-byte, so the driver hash
-    covers line splitting, df counting, the strip, and order-preserving
-    reassembly (see operators/linedup.py)."""
-    from ..operators.linedup import drop_duplicate_lines
+    """Tagged corpus-dedup pack: boilerplate LINE removal ('line' branch,
+    operators/linedup.py) and duplicate-SPAN removal ('span' branch,
+    operators/spandup.py) over documents + per-branch planted rows.
 
-    planted = spark.createDataFrame(
+    Both branches rebuild every document byte-for-byte, so the driver hash
+    covers splitting/fingerprinting, df counting, canonical selection, the
+    strip/merge, and order-preserving reassembly. The span oracle replays
+    the rolling-hash semantics by exact run STRING (equal windows hash
+    equal by construction; the engine's 64-bit hash only diverges on a
+    ~n^2/2^64 collision, which the fixture vocabulary cannot produce).
+    Each branch keeps the engine's corpus-volume budget: two equality
+    exchanges for lines, one grouped fingerprint exchange + boilerplate-
+    volume join-back for spans — no pair blowup anywhere."""
+    from ..operators.linedup import drop_duplicate_lines
+    from ..operators.spandup import remove_duplicate_spans
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    line_planted = spark.createDataFrame(
         _LINEDUP_PLANTED, "doc_id long, text string"
     )
-    base = (
-        _docs(spark, sf_dir).select("doc_id", "text").unionByName(planted)
+    line = drop_duplicate_lines(
+        docs.unionByName(line_planted),
+        "doc_id",
+        "text",
+        max_line_df=3,
+        line_sep="\n",
+    ).select(
+        F.lit("line").alias("branch"),
+        "doc_id",
+        "clean_text",
+        F.col("n_lines").cast("long").alias("n_units"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.lit(0).cast("long").alias("n_spans"),
     )
-    return drop_duplicate_lines(
-        base, "doc_id", "text", max_line_df=3, line_sep="\n"
+    span_planted = spark.createDataFrame(
+        _SPANDUP_PLANTED, "doc_id long, text string"
     )
+    span = remove_duplicate_spans(
+        docs.unionByName(span_planted),
+        "doc_id",
+        "text",
+        window=_SPAN_W,
+        max_df=_SPAN_MAX_DF,
+    ).select(
+        F.lit("span").alias("branch"),
+        "doc_id",
+        "clean_text",
+        F.col("n_tokens").cast("long").alias("n_units"),
+        (F.col("n_tokens") - F.col("n_removed_tokens"))
+        .cast("long")
+        .alias("n_kept"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+    )
+    return line.unionByName(span)
 
 
 # --------------------------------------------------------------------------

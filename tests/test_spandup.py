@@ -192,3 +192,41 @@ def test_plan_shapes(spark):
         .toString()
     )
     assert "CartesianProduct" not in spans_plan
+
+
+def test_registered_c26_span_branch_planted_cases(spark, sf_dir):
+    """The driver-checked c26 'span' branch is non-vacuous: every planted
+    contract case lands in the registered output exactly as documented —
+    canonical untouched, cross-doc removal, both-occurrences-removed doc,
+    periodic self-overlap truncating its own canonical window, sub-window
+    passthrough, and the over-max_df run excluded (kept) everywhere."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.plans.registry import (
+        QUERIES,
+    )
+
+    out = QUERIES["c26_line_dedup"].fn(spark, sf_dir)
+    got = {
+        r.doc_id: r
+        for r in out.filter(
+            (F.col("branch") == "span") & (F.col("doc_id") >= 9_100_000)
+        ).collect()
+    }
+    assert len(got) == 11
+    # Canonical (min doc_id) occurrence of the shared passage: untouched.
+    assert got[9_100_000].n_spans == 0
+    assert got[9_100_000].n_kept == got[9_100_000].n_units == 35
+    # Cross-doc occurrence removed as one merged span.
+    assert got[9_100_001].clean_text == "beta0 gamma0 gamma1 gamma2"
+    assert got[9_100_001].n_spans == 1
+    # Both occurrences in a later doc removed (neither is canonical).
+    assert got[9_100_002].clean_text == "mid0 mid1"
+    assert got[9_100_002].n_spans == 2
+    # Periodic self-repeat: removal truncates the canonical occurrence's
+    # own window — the per-RUN (not per-passage) semantics.
+    assert got[9_100_003].clean_text == "rep0 rep1 rep2 rep3"
+    # Sub-window doc passes through.
+    assert got[9_100_004].clean_text == "tiny doc"
+    # df=6 > max_df=4: the hot run is EXCLUDED, kept in all six docs.
+    for i in range(6):
+        r = got[9_100_005 + i]
+        assert r.n_spans == 0 and r.n_kept == r.n_units == 14

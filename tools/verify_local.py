@@ -10,6 +10,7 @@ Usage: python tools/verify_local.py [sf_dir] [query_name ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import sys
 import traceback
@@ -50,10 +51,18 @@ def normalize(rows, colnames):
         # order across a digit-count boundary (9.9999994 vs 10.0 sorts
         # '9.999999' after '10.0' lexicographically) and misaligned rows
         # far beyond the compare tolerance.
-        if isinstance(v, float):
-            if math.isnan(v):
+        # Numerics key UNIFORMLY (not just float): the same column can come
+        # back float from Spark but Decimal/int from DuckDB, and mixing a
+        # numeric key on one side with a string key on the other would sort
+        # the two sides differently and misalign otherwise-matching rows.
+        # bool is excluded — Spark/DuckDB agree on bool, and True == 1 as a
+        # numeric key would collide distinct values.
+        if isinstance(v, (float, int, decimal.Decimal)) and not isinstance(
+            v, bool
+        ):
+            if isinstance(v, float) and math.isnan(v):
                 return (2, "NaN")
-            return (1, round(v, 4))
+            return (1, round(float(v), 4))
         return (1, str(v))
 
     out = [tuple(r[i] for i in order) for r in rows]
