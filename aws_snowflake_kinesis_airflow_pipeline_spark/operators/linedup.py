@@ -41,6 +41,7 @@ def drop_duplicate_lines(
     text_col: str = "text",
     max_line_df: int = 3,
     line_sep: str = "\n",
+    hot_join_salts: int = 0,
 ) -> DataFrame:
     """Remove every line whose document frequency exceeds ``max_line_df``.
 
@@ -50,6 +51,17 @@ def drop_duplicate_lines(
     line count, and the kept line count. A line's document frequency
     counts each document once however often the line repeats inside it.
     Documents with no text produce ``clean_text = ''``.
+
+    ``hot_join_salts``: the filter's anti-join keys corpus line volume by
+    line TEXT, and a viral boilerplate line is by definition a hot key.
+    The default path relies on the hot set broadcasting (it is small at
+    sane thresholds, and AQE converts to broadcast at runtime from actual
+    size); AQE's skew SPLIT cannot reach this join — the hot set is an
+    aggregate, which breaks the rule's sort-over-shuffle pattern match
+    (pinned in tests/test_skew.py). If the hot set ever outgrows
+    broadcast, pass ``hot_join_salts`` > 0 to shard each hot key across
+    that many partitions via ``skew.salted_left_anti_join`` —
+    row-identical output, pinned by test.
     """
     # coalesce: split(NULL) is NULL and posexplode of NULL emits no rows,
     # which would drop NULL-text documents from the output entirely —
@@ -77,7 +89,12 @@ def drop_duplicate_lines(
         .filter(F.col("line_df") > max_line_df)
         .select("line")
     )
-    kept = lines.join(hot, "line", "left_anti")
+    if hot_join_salts > 0:
+        from .skew import salted_left_anti_join
+
+        kept = salted_left_anti_join(lines, hot, "line", hot_join_salts)
+    else:
+        kept = lines.join(hot, "line", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

@@ -96,3 +96,37 @@ def salted_inner_join(
     replicated_right = right.select("*", salts)
     out = salted_left.join(replicated_right, [key, "_salt"], "inner")
     return out.drop("_salt")
+
+
+def salted_left_anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Left-anti equi-join resilient to left-side key skew.
+
+    Same construction as ``salted_inner_join``: left rows get a
+    deterministic row-salt, the right side is replicated once per salt,
+    and the anti-join runs on (key, salt). Semantics are unchanged — a
+    left row is dropped iff the replicated right contains (key, its salt),
+    and replication guarantees every salt of every right key exists.
+    Row-for-row identical to ``left.join(right, key, "left_anti")``.
+
+    Exists because AQE's skew split CANNOT reach this shape: the rule
+    pattern-matches a join whose children are sorts directly over shuffle
+    stages, and the typical anti-join right side (a groupBy-derived hot
+    set) interposes an aggregate, so a hot left key — the boilerplate
+    line every document carries — stays one straggler partition. The
+    production-default escape is broadcasting the small right side; use
+    this form when the right side outgrows broadcast.
+    """
+    salted_left = left.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    salts = F.explode(
+        F.array(*[F.lit(i).cast("long") for i in range(n_salts)])
+    ).alias("_salt")
+    replicated_right = right.select(F.col(key), salts)
+    out = salted_left.join(replicated_right, [key, "_salt"], "left_anti")
+    return out.drop("_salt")

@@ -436,6 +436,11 @@ def c15_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = base.unionByName(needle)
     exclude = [_QUERY_VEC_ID]
+    # PLAN-LAYER-ONLY ground truth: this O(corpus) brute-force scan exists
+    # solely so the registered query can reduce to oracle-boundable recall
+    # booleans. It must NEVER leak into the operator API — ivf_topk /
+    # pq_topk stay O(probed cells) and never compute an exact scan
+    # (pinned by test_operator_api_never_triggers_exact_scan).
     exact = similarity.brute_force_topk(
         emb, "embedding", "vec_id", qvec, k=10, exclude_ids=exclude
     ).select(F.col("vec_id").alias("exact_id"))

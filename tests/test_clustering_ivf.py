@@ -84,3 +84,50 @@ def test_ivf_topk_recall_on_clusters(spark):
         == indexed.filter(indexed.vec_id == 0).first()["ivf_cluster"]
     ).count()
     assert probed <= 40  # one cluster's worth, not 120
+
+
+def test_operator_api_never_triggers_exact_scan(spark, monkeypatch):
+    """c15's FULL-CORPUS brute-force ground-truth scan is a plan-layer
+    harness artifact (plans/llm_suite.py) for a checkable oracle row; the
+    operator API must stay O(probed cells). Pin both halves: every exact
+    scan ivf_topk issues is over the cell-FILTERED subset (the plan
+    carries the ivf_cluster probe filter), and pq_topk — ADC over codes —
+    never performs an exact scan at all."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators import (
+        pq,
+        similarity,
+    )
+
+    rng = rnd.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[0][1]
+
+    real = similarity.brute_force_topk
+    scanned_inputs = []
+
+    def _spy(df, *a, **k):
+        scanned_inputs.append(df)
+        return real(df, *a, **k)
+
+    monkeypatch.setattr(similarity, "brute_force_topk", _spy)
+    model, indexed = similarity.ivf_index(emb, "embedding", n_clusters=4)
+    got_ivf = similarity.ivf_topk(
+        model, indexed, "embedding", "vec_id", q, k=5, n_probe=2,
+        exclude_ids=[0],
+    ).collect()
+    assert len(got_ivf) == 5
+    assert len(scanned_inputs) == 1
+    plan = scanned_inputs[0]._jdf.queryExecution().optimizedPlan().toString()
+    assert "ivf_cluster" in plan  # the probe filter bounds the scan
+
+    def _poisoned(*a, **k):  # pragma: no cover - must never run
+        raise AssertionError("pq_topk invoked an exact scan")
+
+    monkeypatch.setattr(similarity, "brute_force_topk", _poisoned)
+    pq_model = pq.pq_fit(emb, "embedding", m=4, n_codes=8, dim=16)
+    encoded = pq.pq_encode(emb, "embedding", pq_model)
+    got_pq = pq.pq_topk(
+        pq_model, encoded, "vec_id", q, k=5, exclude_ids=[0]
+    ).collect()
+    assert len(got_pq) == 5

@@ -162,3 +162,163 @@ def test_salted_join_identity_property(spark, left_rows, right_rows, n_salts):
         ).collect()
     )
     assert salted == plain
+
+
+@given(left_rows=_kv_rows, right_rows=_tag_rows, n_salts=_salts)
+@example(  # NULL keys both sides (anti-join must KEEP the NULL-key rows:
+    # NULL never equi-matches), duplicate right keys
+    left_rows=[(None, 1), ("hot", 2), ("hot", None), ("cold", 3)],
+    right_rows=[(None, 0), ("hot", 1), ("hot", 2)],
+    n_salts=1,
+)
+@_SETTINGS
+def test_salted_anti_join_identity_property(
+    spark, left_rows, right_rows, n_salts
+):
+    left = _mk(spark, left_rows)
+    right = spark.createDataFrame(right_rows, "k string, tag int")
+    plain = Counter(
+        (r["k"], r["v"])
+        for r in left.join(right, "k", "left_anti").collect()
+    )
+    salted = Counter(
+        (r["k"], r["v"])
+        for r in skew.salted_left_anti_join(
+            left, right, "k", n_salts=n_salts
+        ).collect()
+    )
+    assert salted == plain
+
+
+def _with_tiny_skew_thresholds(spark):
+    """Context manager: shrink AQE's skew thresholds so a planted hot key
+    is 'skewed' at test scale, and disable broadcast so the join shuffles
+    (the production trigger is a partition past 256 MB; the mechanism is
+    identical)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        keys = {
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16384",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8192",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        old = {k: spark.conf.get(k, None) for k in keys}
+        try:
+            for k, v in keys.items():
+                spark.conf.set(k, v)
+            yield
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    return cm()
+
+
+def test_aqe_skew_join_is_the_chosen_shuffle_join_mitigation(spark):
+    """The engine's skewed-SHUFFLE-JOIN mitigation is AQE's runtime skew
+    split (hand salting stays for the aggregation/collect paths AQE cannot
+    fix — see operators/skew.py). Pin that the mitigation actually ENGAGES:
+    a planted hot key must produce a `skew=true` sort-merge join in the
+    adaptive final plan, with row-identical results."""
+    # Payload must be incompressible — shuffle partition sizes are measured
+    # post-compression, and a constant pad compresses below any threshold.
+    pad = F.repeat(F.sha1(F.col("id").cast("string")), 10)
+    hot = spark.range(40_000).select(
+        F.lit(0).alias("k"), pad.alias("payload")
+    )
+    cold = spark.range(2_000).select(
+        (F.col("id") % 100 + 1).alias("k"), pad.alias("payload")
+    )
+    left = hot.union(cold)
+    right = spark.range(101).select(
+        F.col("id").alias("k"), F.col("id").alias("dim")
+    )
+    with _with_tiny_skew_thresholds(spark):
+        # keep the payload in the output: column pruning would otherwise
+        # strip it BEFORE the shuffle and no partition would be big enough
+        # to register as skewed (correct behavior — pruning beats salting)
+        joined = left.join(right, "k").select("k", "dim", "payload")
+        # collect() (not count()) so the inspected plan is THIS query
+        # execution's adaptive final plan — count() builds its own.
+        n = len(joined.collect())
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert n == 42_000
+    assert "skew=true" in plan, plan[:2000]
+
+
+def _boiler_docs(spark, n_docs):
+    boiler = "subscribe to the hot newsletter " + "b" * 100
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(boiler + "\n"),
+            F.lit(boiler + "\n"),
+            F.lit(boiler + "\n"),
+            F.lit("unique line "),
+            F.col("id"),
+        ).alias("text"),
+    )
+
+
+def test_linedup_hot_anti_join_mitigation_matrix(spark):
+    """The first real-cluster skew incident shape: linedup's left-anti join
+    keys corpus line volume by line TEXT, and one viral boilerplate line is
+    a hot key. Pin the full mitigation story on the PRODUCTION operator:
+
+    1. default path — the hot set BROADCASTS (no shuffle of the line
+       volume by line at all, so no skew hazard exists);
+    2. if broadcast is off the table, AQE's skew split CANNOT save this
+       join (the hot set is an aggregate, which breaks the rule's
+       sort-over-shuffle pattern match) — the documented reason the
+       salted path exists, pinned so a Spark upgrade that lifts the
+       limitation is noticed;
+    3. hot_join_salts > 0 — the salted anti-join fans the hot key across
+       salt partitions with row-identical output."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.linedup import (
+        drop_duplicate_lines,
+    )
+
+    docs = _boiler_docs(spark, 30_000)
+    expect = lambda rows: (  # noqa: E731
+        len(rows) == 30_000
+        and all(
+            r.clean_text == f"unique line {r.doc_id}" and r.n_kept == 1
+            for r in rows
+        )
+    )
+
+    # 1. Default path: broadcast anti-join, no line-keyed shuffle of the
+    # corpus volume.
+    out = drop_duplicate_lines(docs, "doc_id", "text", max_line_df=3)
+    rows_default = out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert expect(rows_default)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
+
+    with _with_tiny_skew_thresholds(spark):
+        # 2. Broadcast disabled: the anti-join shuffles by line and AQE
+        # does NOT mark it skewed even with a planted hot key far past the
+        # tiny thresholds — the aggregate child defeats the pattern match.
+        out2 = drop_duplicate_lines(docs, "doc_id", "text", max_line_df=3)
+        rows_smj = out2.collect()
+        plan2 = out2._jdf.queryExecution().executedPlan().toString()
+        assert expect(rows_smj)
+        assert "LeftAnti" in plan2 and "BroadcastHashJoin" not in plan2
+        assert "skew=true" not in plan2  # AQE can't reach this shape
+
+        # 3. The wired mitigation: salted anti-join, row-identical, joined
+        # on (line, salt) so the hot key fans out across salt partitions.
+        out3 = drop_duplicate_lines(
+            docs, "doc_id", "text", max_line_df=3, hot_join_salts=8
+        )
+        rows_salted = out3.collect()
+        plan3 = out3._jdf.queryExecution().executedPlan().toString()
+        assert expect(rows_salted)
+        assert "_salt" in plan3 and "LeftAnti" in plan3
+    assert sorted(map(tuple, rows_salted)) == sorted(map(tuple, rows_default))
