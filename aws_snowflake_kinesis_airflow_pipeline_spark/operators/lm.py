@@ -25,12 +25,26 @@ Model definition (deterministic, oracle-replayable):
 * Document score: mean ln p over the document's bigrams, rounded to 4 dp
   (engine-wide float-parity convention).  Documents with < 2 tokens have
   no bigrams: ``lm_bigrams = 0``, ``lm_logprob = NULL``.
+* ``max_fit_docs``: when set, the model (vocabulary AND bigram counts) is
+  fit on a bounded deterministic document sample — the ``max_fit_docs``
+  smallest ids under the portable md5 permutation (``sampling.
+  shuffle_hash(portable=True)``, so the DuckDB oracle replays the exact
+  sample) — and the full corpus is scored against it. Bigrams/contexts
+  the sample never saw score with count 0 under the same add-k smoothing
+  (this is the standard CCNet shape: KenLM is fit on a Wikipedia-sized
+  sample, never on the corpus being scored).
 
 Scale shape:
 
-* Model build is two aggregations over corpus bigrams (unigram counts for
-  the vocabulary, bigram/context counts for the model) — each a single
-  exchange with map-side combine carrying only (token(s), count) rows.
+* With ``max_fit_docs`` set (the 100 TB form), corpus passes collapse to
+  TWO: the sample draw (per-partition top-k under the portable
+  permutation — no full sort, no tokenize, ≤ max_fit_docs rows collected
+  to the driver, the ivf_index fit-sizing contract) and the scoring pass
+  — the corpus is tokenized exactly ONCE. The fit aggregations
+  (unigrams, bigrams) run on the local sample-sized frame.
+  Full-corpus fit (``max_fit_docs=None``) keeps the exact-model form:
+  two aggregations over corpus bigrams, each a single exchange with
+  map-side combine carrying only (token(s), count) rows.
 * The UNK collapse bounds the model: ≤ (V+1)^2 bigram rows and ≤ V+1
   context rows REGARDLESS of corpus size, so both scoring joins are
   broadcast — scoring adds no exchange beyond the per-document aggregate.
@@ -61,8 +75,14 @@ def bigram_lm_scores(
     text_col: str = "text",
     vocab_size: int = 64,
     add_k: float = 0.5,
+    max_fit_docs: int | None = None,
+    fit_seed: int = 0,
 ) -> DataFrame:
     """Per-document mean bigram log-probability under the corpus LM.
+
+    ``max_fit_docs``: fit the model on that many deterministically-sampled
+    documents (portable md5 draw, see module docstring) instead of the
+    full corpus — one corpus-token pass instead of three.
 
     Returns one row per input document:
     ``(id_col, lm_bigrams int, lm_logprob double | NULL)``.
@@ -77,10 +97,35 @@ def bigram_lm_scores(
     )
     toks = docs.select(F.col(id_col), t.alias("_t"))
 
-    # Vocabulary: top-V unigrams, (count desc, token asc). The collect is
-    # bounded by vocab_size — the operator's only driver-side state.
+    if max_fit_docs is not None:
+        from .sampling import shuffle_hash
+
+        # The ivf_index fit pattern: ONE corpus scan (per-partition top-k
+        # under the portable permutation, no full sort, no tokenize),
+        # sample collected to the driver — bounded by max_fit_docs like
+        # ivf's max_fit_rows, the caller's sizing contract — then the
+        # whole fit lineage (tokenize, unigrams, bigrams) runs on the
+        # local sample-sized frame. Without this, every fit aggregation
+        # would re-scan the full corpus to re-derive a 0.001% sample.
+        proj = docs.select(F.col(id_col), F.col(text_col))
+        sample = (
+            proj.orderBy(
+                shuffle_hash(F.col(id_col), fit_seed, portable=True),
+                F.col(id_col),
+            )
+            .limit(max_fit_docs)
+            .collect()
+        )
+        fit_docs = spark.createDataFrame(sample, proj.schema)
+        fit_toks = fit_docs.select(F.col(id_col), t.alias("_t"))
+    else:
+        fit_toks = toks
+
+    # Vocabulary: top-V unigrams of the FIT set, (count desc, token asc).
+    # The collect is bounded by vocab_size — the operator's only
+    # driver-side state.
     uni = (
-        toks.select(F.explode("_t").alias("_w"))
+        fit_toks.select(F.explode("_t").alias("_w"))
         .groupBy("_w")
         .agg(F.count("*").alias("_c"))
     )
@@ -93,51 +138,64 @@ def bigram_lm_scores(
     n_vocab = len(vocab)
     vdf = spark.createDataFrame([(w,) for w in vocab], "_v string")
 
-    # Row-local bigram pairs: zip the token array with its 1-shifted self.
-    n1 = F.greatest(F.size("_t") - 1, F.lit(0))
-    pairs = toks.select(
-        F.col(id_col),
-        F.explode(
-            F.arrays_zip(
-                F.slice("_t", 1, n1).alias("w1"),
-                F.slice("_t", 2, n1).alias("w2"),
-            )
-        ).alias("_b"),
-    ).select(id_col, F.col("_b.w1").alias("_w1"), F.col("_b.w2").alias("_w2"))
-
-    # UNK collapse via two broadcast left joins against the tiny vocab.
-    # Deliberately NOT materialized: the mapped pairs feed the bigram
-    # model and the scoring pass, so the scan + explode + broadcast-map
-    # lineage runs twice — but both runs are streaming whole-stage-codegen
-    # passes, which beats checkpointing a corpus-token-sized intermediate
-    # to disk (measured 0.5-0.7 s faster at sf0.1, and at cluster scale
-    # the write amplification of a bigram-level checkpoint dwarfs a second
-    # columnar scan).
-    mapped = (
-        pairs.join(F.broadcast(vdf.withColumnRenamed("_v", "_v1")),
-                   F.col("_w1") == F.col("_v1"), "left")
-        .join(F.broadcast(vdf.withColumnRenamed("_v", "_v2")),
-              F.col("_w2") == F.col("_v2"), "left")
-        .select(
-            id_col,
-            F.coalesce("_v1", F.lit(UNK)).alias("_w1"),
-            F.coalesce("_v2", F.lit(UNK)).alias("_w2"),
+    # Row-local bigram pairs: zip the token array with its 1-shifted self,
+    # then UNK-collapse via two broadcast left joins against the tiny
+    # vocab. Deliberately NOT materialized (full-fit mode runs the lineage
+    # for both the model and the scoring pass): both runs are streaming
+    # whole-stage-codegen passes, which beats checkpointing a
+    # corpus-token-sized intermediate to disk (measured 0.5-0.7 s faster
+    # at sf0.1, and at cluster scale the write amplification of a
+    # bigram-level checkpoint dwarfs a second columnar scan). In sampled
+    # mode the model side is sample-volume, so the corpus lineage runs
+    # exactly once — the scoring pass.
+    def _mapped_pairs(tdf: DataFrame) -> DataFrame:
+        n1 = F.greatest(F.size("_t") - 1, F.lit(0))
+        pairs = tdf.select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_t", 1, n1).alias("w1"),
+                    F.slice("_t", 2, n1).alias("w2"),
+                )
+            ).alias("_b"),
+        ).select(
+            id_col, F.col("_b.w1").alias("_w1"), F.col("_b.w2").alias("_w2")
         )
-    )
+        return (
+            pairs.join(F.broadcast(vdf.withColumnRenamed("_v", "_v1")),
+                       F.col("_w1") == F.col("_v1"), "left")
+            .join(F.broadcast(vdf.withColumnRenamed("_v", "_v2")),
+                  F.col("_w2") == F.col("_v2"), "left")
+            .select(
+                id_col,
+                F.coalesce("_v1", F.lit(UNK)).alias("_w1"),
+                F.coalesce("_v2", F.lit(UNK)).alias("_w2"),
+            )
+        )
+
+    mapped = _mapped_pairs(toks)
+    fit_mapped = mapped if max_fit_docs is None else _mapped_pairs(fit_toks)
 
     # Model tables — UNK-bounded (≤ (V+1)^2 / ≤ V+1 rows), hence broadcast.
     # Context counts roll up from the bigram model (c1 = Σ_w2 c12), so the
-    # corpus-sized mapped table is aggregated exactly once.
-    model = mapped.groupBy("_w1", "_w2").agg(F.count("*").alias("_c12"))
+    # fit-sized mapped table is aggregated exactly once.
+    model = fit_mapped.groupBy("_w1", "_w2").agg(F.count("*").alias("_c12"))
     ctx = model.groupBy("_w1").agg(F.sum("_c12").alias("_c1"))
 
+    # LEFT joins + coalesce(0): under a sampled fit the corpus contains
+    # bigrams/contexts the sample never saw — they score with count 0
+    # under the same add-k smoothing. With a full-corpus fit every pair
+    # exists in the model and the coalesce never fires (inner-identical).
     denom_k = float(add_k) * (n_vocab + 1)
     scored = (
-        mapped.join(F.broadcast(model), ["_w1", "_w2"])
-        .join(F.broadcast(ctx), ["_w1"])
+        mapped.join(F.broadcast(model), ["_w1", "_w2"], "left")
+        .join(F.broadcast(ctx), ["_w1"], "left")
         .select(
             id_col,
-            F.log((F.col("_c12") + add_k) / (F.col("_c1") + denom_k)).alias("_lp"),
+            F.log(
+                (F.coalesce("_c12", F.lit(0)) + add_k)
+                / (F.coalesce("_c1", F.lit(0)) + denom_k)
+            ).alias("_lp"),
         )
         .groupBy(id_col)
         .agg(

@@ -559,11 +559,32 @@ _NORM_SUFFIX = "\u201d\t\ufb01\uff21\uff22\uff23\uff11\uff12\uff13\u200b\x07  "
                          x -> x <> '') AS lt
       FROM documents
     ),
+    -- LM fit sample: the 200 smallest doc ids under the portable md5
+    -- permutation (seed 0) — the exact draw bigram_lm_scores(max_fit_docs)
+    -- makes, so the model (vocab + counts) is replayed from the SAMPLE
+    -- while every document is scored.
+    fit AS (
+      SELECT doc_id, lt FROM toks
+      ORDER BY CAST(CONCAT('0x',
+                 SUBSTR(md5(CONCAT('0:', CAST(doc_id AS VARCHAR))), 1, 8))
+               AS UBIGINT),
+               doc_id
+      LIMIT 200
+    ),
     uni AS (
-      SELECT u.w AS w, COUNT(*) AS c FROM toks, UNNEST(lt) AS u(w) GROUP BY 1
+      SELECT u.w AS w, COUNT(*) AS c FROM fit, UNNEST(lt) AS u(w) GROUP BY 1
     ),
     vocab AS (SELECT w FROM uni ORDER BY c DESC, w LIMIT 64),
     nv AS (SELECT COUNT(*) AS v FROM vocab),
+    fbi AS (
+      SELECT CASE WHEN lt[i.i] IN (SELECT w FROM vocab)
+                  THEN lt[i.i] ELSE CHR(1) END AS w1,
+             CASE WHEN lt[i.i + 1] IN (SELECT w FROM vocab)
+                  THEN lt[i.i + 1] ELSE CHR(1) END AS w2
+      FROM fit, UNNEST(GENERATE_SERIES(1, LEN(lt) - 1)) AS i(i)
+    ),
+    mdl AS (SELECT w1, w2, COUNT(*) AS c12 FROM fbi GROUP BY 1, 2),
+    ctx AS (SELECT w1, COUNT(*) AS c1 FROM fbi GROUP BY 1),
     bi AS (
       SELECT doc_id,
              CASE WHEN lt[i.i] IN (SELECT w FROM vocab)
@@ -572,14 +593,14 @@ _NORM_SUFFIX = "\u201d\t\ufb01\uff21\uff22\uff23\uff11\uff12\uff13\u200b\x07  "
                   THEN lt[i.i + 1] ELSE CHR(1) END AS w2
       FROM toks, UNNEST(GENERATE_SERIES(1, LEN(lt) - 1)) AS i(i)
     ),
-    mdl AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
-    ctx AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
     lm AS (
       SELECT b.doc_id,
              CAST(COUNT(*) AS INT) AS lm_bigrams,
-             ROUND(SUM(LN((m.c12 + 0.5) / (x.c1 + 0.5 * (nv.v + 1))))
+             ROUND(SUM(LN((COALESCE(m.c12, 0) + 0.5)
+                          / (COALESCE(x.c1, 0) + 0.5 * (nv.v + 1))))
                    / COUNT(*), 4) AS lm_logprob
-      FROM bi b JOIN mdl m USING (w1, w2) JOIN ctx x USING (w1) CROSS JOIN nv
+      FROM bi b LEFT JOIN mdl m USING (w1, w2)
+                LEFT JOIN ctx x USING (w1) CROSS JOIN nv
       GROUP BY 1
     )
     SELECT doc_id,
@@ -625,9 +646,12 @@ _NORM_SUFFIX = "\u201d\t\ufb01\uff21\uff22\uff23\uff11\uff12\uff13\u200b\x07  "
     "repetition signals (duplicate-word + top-word fractions), quality "
     "scoring (length/punct/stopword components + composite), B36 "
     "count-based bigram-LM quality score (CCNet-style perplexity signal: "
-    "add-k smoothed corpus bigram model, top-64 vocab with OOV collapse; "
-    "oracle rebuilds the model and replays every document's mean bigram "
-    "log-prob), and the north-star unicode normalization pack "
+    "add-k smoothed bigram model fit on a bounded portable-md5 document "
+    "sample — the KenLM fit-on-sample/score-the-corpus shape — top-64 "
+    "vocab with OOV collapse, unseen bigrams smoothed at count 0; oracle "
+    "replays the sample draw, rebuilds the model from it, and replays "
+    "every document's mean bigram log-prob), and the north-star unicode "
+    "normalization pack "
     "(functions/normalize.py — NFKC fold + control/format strip + punct "
     "unification + whitespace collapse over a planted hostile wrapper; "
     "the oracle inlines the planted forms' known NFKC folds as literals "
@@ -636,8 +660,9 @@ _NORM_SUFFIX = "\u201d\t\ufb01\uff21\uff22\uff23\uff11\uff12\uff13\u200b\x07  "
 def c8_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counts, the normalized content fingerprint, the
     quality-score components (one projection, all JVM expressions) — plus
-    the corpus-level bigram-LM quality score joined per document
-    (operators/lm.py; the model is UNK-bounded so both scoring joins
+    the bigram-LM quality score joined per document (operators/lm.py,
+    fit on a bounded 200-doc portable-md5 sample so the corpus is
+    tokenized once; the model is UNK-bounded so both scoring joins
     broadcast), plus the full unicode-cleaning pass over the document
     wrapped in hostile unicode (curly quotes, NFKC compatibility forms, a
     zero-width and a control byte, whitespace runs — _NORM_PREFIX/_SUFFIX
@@ -669,7 +694,9 @@ def c8_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean.alias("norm_clean"),
         F.length(clean).cast("int").alias("norm_clean_len"),
     )
-    return feats.join(bigram_lm_scores(docs, vocab_size=64), "doc_id")
+    return feats.join(
+        bigram_lm_scores(docs, vocab_size=64, max_fit_docs=200), "doc_id"
+    )
 
 
 @register(

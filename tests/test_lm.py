@@ -139,3 +139,75 @@ def test_vocab_size_validation(spark):
     df = spark.createDataFrame(DOCS, "doc_id int, text string")
     with pytest.raises(ValueError):
         bigram_lm_scores(df, vocab_size=0)
+
+
+def _py_scores_sampled(docs, vocab_size, max_fit_docs, fit_seed=0, add_k=0.5):
+    """Reference replay of the SAMPLED fit: model from the max_fit_docs
+    smallest ids under the portable md5 permutation, full set scored with
+    zero-count smoothing for unseen bigrams/contexts."""
+    import hashlib
+
+    def h(i):
+        return int(
+            hashlib.md5(f"{fit_seed}:{i}".encode()).hexdigest()[:8], 16
+        )
+
+    fit_ids = {
+        i for i, _ in sorted(docs, key=lambda d: (h(d[0]), d[0]))[:max_fit_docs]
+    }
+    toks = {i: (t or "").lower().split() for i, t in docs}
+    fit_toks = {i: ts for i, ts in toks.items() if i in fit_ids}
+    uni = Counter(w for ts in fit_toks.values() for w in ts)
+    vocab = {
+        w
+        for w, _ in sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :vocab_size
+        ]
+    }
+    m = lambda w: w if w in vocab else UNK
+    fit_bis = [
+        (m(a), m(b))
+        for ts in fit_toks.values()
+        for a, b in zip(ts, ts[1:])
+    ]
+    c12 = Counter(fit_bis)
+    c1 = Counter(p[0] for p in fit_bis)
+    v = len(vocab)
+    out = {}
+    for i, ts in toks.items():
+        ps = [(m(a), m(b)) for a, b in zip(ts, ts[1:])]
+        if not ps:
+            out[i] = (0, None)
+            continue
+        lp = sum(
+            math.log((c12[p] + add_k) / (c1[p[0]] + add_k * (v + 1)))
+            for p in ps
+        ) / len(ps)
+        out[i] = (len(ps), round(lp, 4))
+    return out
+
+
+def test_sampled_fit_covering_sample_equals_full_fit(spark):
+    """max_fit_docs >= corpus size: the sample IS the corpus, so the
+    sampled path must reproduce the full fit bit-for-bit (including that
+    no scoring coalesce fires — every pair is in the model)."""
+    full = _run(spark, DOCS, vocab_size=5)
+    sampled = _run(spark, DOCS, vocab_size=5, max_fit_docs=len(DOCS))
+    assert sampled == full
+
+
+def test_sampled_fit_matches_python_replay(spark):
+    """Strict subsample: vocabulary, bigram counts AND the md5 sample draw
+    itself replayed in pure Python; corpus bigrams the sample never saw
+    score with count 0 under the same add-k smoothing."""
+    for n_fit in (2, 3, 5):
+        got = _run(spark, DOCS, vocab_size=4, max_fit_docs=n_fit)
+        want = _py_scores_sampled(DOCS, vocab_size=4, max_fit_docs=n_fit)
+        assert got == want, f"max_fit_docs={n_fit}"
+
+
+def test_sampled_fit_scores_all_docs(spark):
+    """Every input document is scored — sampling bounds the FIT, never the
+    output surface."""
+    got = _run(spark, DOCS, vocab_size=4, max_fit_docs=2)
+    assert set(got) == {i for i, _ in DOCS}
