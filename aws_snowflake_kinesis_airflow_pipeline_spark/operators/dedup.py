@@ -1196,7 +1196,12 @@ def connected_components(
             .groupBy(F.col("id1").alias("id"))
             .agg(F.min("component").alias("neighbor_component"))
         )
-        new_labels = (
+        # The convergence flag rides the round's own projection: a node
+        # changed iff a neighbor offered a strictly smaller label. Reading
+        # the flag back off the just-materialized checkpoint replaces the
+        # previous old-vs-new labels join — one full shuffle join per
+        # round bought nothing the row already knew.
+        flagged = (
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
@@ -1204,17 +1209,15 @@ def connected_components(
                     F.col("component"),
                     F.coalesce(F.col("neighbor_component"), F.col("component")),
                 ).alias("component"),
+                F.coalesce(
+                    F.col("neighbor_component") < F.col("component"),
+                    F.lit(False),
+                ).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o").hint("shuffle_hash"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = flagged.filter("_changed").limit(1).count()
+        labels = flagged.drop("_changed")
         if changed == 0:
             break
     else:

@@ -935,35 +935,116 @@ def c19_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# Planted PPM fixture for the c13 'pixel' branch: pixel byte j of image
+# media_id is (media_id + 3*j) % 256 and dims are (2 + id%3) x (1 + id%2)
+# — pure functions of the id, so the ORACLE recomputes the per-channel
+# means the kernel must produce from REAL decoded pixels. Any parse error
+# in the P6 decode (header offset, raster truncation, channel order)
+# shifts bytes between channels and breaks the means. One corrupt payload
+# pins the per-row quarantine contract (px_ok = false, NULL stats).
+_PPM_PLANTED_IDS = list(range(9_200_000, 9_200_008))
+_PPM_CORRUPT_ID = 9_200_008
+
+
+def _ppm_planted_rows() -> list[tuple[int, bytes]]:
+    rows = []
+    for mid in _PPM_PLANTED_IDS:
+        w, h = 2 + mid % 3, 1 + mid % 2
+        data = bytes((mid + 3 * j) % 256 for j in range(3 * w * h))
+        rows.append((mid, b"P6\n%d %d\n255\n" % (w, h) + data))
+    rows.append((_PPM_CORRUPT_ID, b"NOTANIMAGE"))
+    return rows
+
+
 @register(
     "c13_media_pack",
-    oracle="""
-    SELECT doc_id AS media_id,
+    oracle=f"""
+    WITH ppm AS (
+      SELECT media_id, 2 + media_id % 3 AS w, 1 + media_id % 2 AS h
+      FROM (SELECT UNNEST({_PPM_PLANTED_IDS!r}) AS media_id)
+    ),
+    ppx AS (
+      SELECT media_id, w, h, UNNEST(RANGE(w * h)) AS p FROM ppm
+    ),
+    pstats AS (
+      SELECT media_id,
+             ROUND(AVG((media_id + 9 * p) % 256), 4) AS mean_r,
+             ROUND(AVG((media_id + 9 * p + 3) % 256), 4) AS mean_g,
+             ROUND(AVG((media_id + 9 * p + 6) % 256), 4) AS mean_b
+      FROM ppx GROUP BY media_id
+    )
+    SELECT 'meta' AS branch, doc_id AS media_id,
            OCTET_LENGTH(ENCODE(text)) AS n_bytes,
            SHA256(text) AS digest,
            'image/png' AS mime,
            CAST(n_chars % 1024 AS INT) AS width,
            CAST(n_chars % 768 AS INT) AS height,
            ROUND(CAST(CONCAT('0x', SUBSTR(sha256(COALESCE(text, '')), 1, 8))
-                      AS UBIGINT) / 4294967296.0, 4) AS f0
+                      AS UBIGINT) / 4294967296.0, 4) AS f0,
+           CAST(NULL AS BOOLEAN) AS px_ok,
+           CAST(NULL AS INT) AS px_width, CAST(NULL AS INT) AS px_height,
+           CAST(NULL AS DOUBLE) AS mean_r, CAST(NULL AS DOUBLE) AS mean_g,
+           CAST(NULL AS DOUBLE) AS mean_b
     FROM documents
+    UNION ALL
+    SELECT 'pixel', m.media_id,
+           -- header 'P6\\n<w> <h>\\n255\\n' is 11 bytes at 1-digit dims
+           CAST(11 + 3 * m.w * m.h AS BIGINT),
+           NULL, 'image/x-portable-pixmap',
+           CAST(m.w AS INT), CAST(m.h AS INT), NULL,
+           TRUE, CAST(m.w AS INT), CAST(m.h AS INT),
+           s.mean_r, s.mean_g, s.mean_b
+    FROM ppm m JOIN pstats s USING (media_id)
+    UNION ALL
+    SELECT 'pixel', {_PPM_CORRUPT_ID}, 10, NULL, 'image/x-portable-pixmap',
+           NULL, NULL, NULL, FALSE, NULL, NULL, NULL, NULL, NULL
     """,
-    survey_ref="north-star multimodal: JVM-side binary metadata extraction "
-    "joined with the Arrow-batched mapInPandas feature kernel (the oracle "
-    "recomputes byte length, digest, synthetic dims, and the first feature "
-    "dimension in SQL)",
+    survey_ref="north-star multimodal pack: 'meta' branch — JVM-side binary "
+    "metadata extraction joined with the Arrow-batched mapInPandas feature "
+    "kernel (oracle recomputes byte length, digest, synthetic dims, first "
+    "feature dim); 'pixel' branch — REAL P6 PPM pixel decode in the "
+    "mapInPandas kernel over planted formula-valued images (oracle "
+    "recomputes the per-channel means from the pixel formula; a corrupt "
+    "payload pins the px_ok=false quarantine row)",
 )
 def c13_media_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Metadata (cheap JVM pre-filter stage) joined with the feature-kernel
-    output on media_id — both halves of the multimodal plumbing through one
-    driver check. The join shuffles on the id only; payload bytes never
-    leave their stage."""
+    """Tagged multimodal pack. 'meta': the cheap JVM pre-filter stage
+    joined with the feature-kernel output on media_id — the join shuffles
+    on the id only; payload bytes never leave their stage. 'pixel': real
+    P6 PPM decode (operators/multimodal.py::decode_ppm) over planted
+    images whose pixels are a pure function of the id, reduced to
+    dimensions + per-channel means the oracle recomputes — plus one
+    corrupt payload exercising the per-row quarantine (px_ok=false)."""
     media = multimodal.documents_as_media(_docs(spark, sf_dir))
     meta = multimodal.media_metadata(media)
     feats = multimodal.extract_features(media).select(
         "media_id", F.round(F.element_at("feature", 1), 4).alias("f0")
     )
-    return meta.join(feats, "media_id").orderBy("media_id")
+    null = lambda t: F.lit(None).cast(t)  # noqa: E731
+    meta_branch = meta.join(feats, "media_id").select(
+        F.lit("meta").alias("branch"),
+        "media_id", "n_bytes", "digest", "mime", "width", "height", "f0",
+        null("boolean").alias("px_ok"),
+        null("int").alias("px_width"), null("int").alias("px_height"),
+        null("double").alias("mean_r"), null("double").alias("mean_g"),
+        null("double").alias("mean_b"),
+    )
+    planted = spark.createDataFrame(
+        _ppm_planted_rows(), "media_id long, content binary"
+    )
+    stats = multimodal.extract_pixel_stats(planted)
+    pixel_branch = planted.join(stats, "media_id").select(
+        F.lit("pixel").alias("branch"),
+        "media_id",
+        F.octet_length("content").alias("n_bytes"),
+        null("string").alias("digest"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.col("px_width").alias("width"),
+        F.col("px_height").alias("height"),
+        null("double").alias("f0"),
+        "px_ok", "px_width", "px_height", "mean_r", "mean_g", "mean_b",
+    )
+    return meta_branch.unionByName(pixel_branch).orderBy("media_id")
 
 
 @register(

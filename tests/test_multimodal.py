@@ -47,6 +47,104 @@ def test_frame_sample_plan(spark):
     assert [r["frame_ts_ms"] for r in frames.collect()] == [0, 1000, 2000, 3000]
 
 
-def test_real_decoder_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
-        multimodal._decode_image_real(b"payload")
+def test_ppm_roundtrip_tiny_planted_image():
+    import numpy as np
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = multimodal.encode_ppm(px)
+    assert payload.startswith(b"P6\n3 2\n255\n")
+    out = multimodal.decode_ppm(payload)
+    assert out.shape == (2, 3, 3)
+    assert (out == px).all()
+
+
+def test_ppm_header_comments_and_whitespace():
+    import numpy as np
+
+    px = np.full((1, 2, 3), 7, dtype=np.uint8)
+    payload = b"P6 # a comment\n# another\n 2\t1 \n255\n" + px.tobytes()
+    out = multimodal.decode_ppm(payload)
+    assert (out == px).all()
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"",  # empty
+        b"NOTANIMAGE",  # wrong magic
+        b"P6\n2 1\n255\n\x00\x01",  # truncated raster
+        b"P6\n2 1\n65535\n" + b"\x00" * 12,  # 16-bit samples rejected
+        b"P6\n0 1\n255\n",  # zero dimension
+        b"\x89PNG\r\n\x1a\n",  # compressed format: named dependency
+    ],
+)
+def test_decode_image_rejects_malformed(payload):
+    with pytest.raises(ValueError):
+        multimodal.decode_image(payload)
+
+
+def test_resize_nearest():
+    import numpy as np
+
+    px = np.array(
+        [[[0, 0, 0], [10, 10, 10]], [[20, 20, 20], [30, 30, 30]]],
+        dtype=np.uint8,
+    )
+    up = multimodal.resize_nearest(px, 4, 4)
+    assert up.shape == (4, 4, 3)
+    # each source pixel becomes a 2x2 block under nearest-neighbor
+    assert (up[0:2, 0:2, 0] == 0).all() and (up[0:2, 2:4, 0] == 10).all()
+    assert (up[2:4, 0:2, 0] == 20).all() and (up[2:4, 2:4, 0] == 30).all()
+    down = multimodal.resize_nearest(up, 2, 2)
+    assert (down == px).all()
+
+
+def test_extract_pixel_stats_real_decode_and_quarantine(spark):
+    import numpy as np
+
+    good = multimodal.encode_ppm(
+        np.array([[[10, 20, 30], [50, 60, 70]]], dtype=np.uint8)
+    )
+    media = spark.createDataFrame(
+        [(1, good), (2, b"garbage"), (3, None)],
+        "media_id long, content binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.extract_pixel_stats(media).collect()
+    }
+    ok = rows[1]
+    assert ok.px_ok and (ok.px_width, ok.px_height) == (2, 1)
+    assert (ok.mean_r, ok.mean_g, ok.mean_b) == (30.0, 40.0, 50.0)
+    # corrupt and NULL payloads quarantine per-row, never fail the task
+    for mid in (2, 3):
+        r = rows[mid]
+        assert r.px_ok is False and r.px_width is None and r.mean_r is None
+
+
+def test_registered_c13_pixel_branch_planted_cases(spark, sf_dir):
+    """The driver-checked c13 'pixel' branch decodes REAL pixels: every
+    planted formula image comes back px_ok with the formula means, and
+    the corrupt payload comes back quarantined."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.plans.llm_suite import (
+        _PPM_CORRUPT_ID,
+        _PPM_PLANTED_IDS,
+    )
+    from aws_snowflake_kinesis_airflow_pipeline_spark.plans.registry import (
+        QUERIES,
+    )
+
+    out = QUERIES["c13_media_pack"].fn(spark, sf_dir)
+    got = {
+        r.media_id: r
+        for r in out.filter(F.col("branch") == "pixel").collect()
+    }
+    assert set(got) == set(_PPM_PLANTED_IDS) | {_PPM_CORRUPT_ID}
+    for mid in _PPM_PLANTED_IDS:
+        r = got[mid]
+        w, h = 2 + mid % 3, 1 + mid % 2
+        assert r.px_ok and (r.px_width, r.px_height) == (w, h)
+        vals = [(mid + 9 * p) % 256 for p in range(w * h)]
+        assert r.mean_r == round(sum(vals) / len(vals), 4)
+    assert got[_PPM_CORRUPT_ID].px_ok is False
+    assert got[_PPM_CORRUPT_ID].mean_b is None
