@@ -59,10 +59,27 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+#: Every char the BPE lexer's SECOND branch must NOT match: deleting these
+#: via translate() leaves exactly the single-char punctuation matches.
+_BPE_ALNUM_WS = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    " \t\n\f\r"
+)
+
+
 def bpe_token_count(col: Column | str) -> Column:
-    """BPE-ish token count via the pre-tokenizer regex (JVM regexp_count)."""
+    """BPE-ish token count — semantically ``regexp_count(BPE_TOKEN_RE)``
+    but decomposed so the JVM never runs the alternation: total matches =
+    (alnum RUNS, a single-class regex) + (chars that are neither alnum
+    nor whitespace, counted by translate-delete, no regex at all). The
+    alternation form re-enters the regex engine per character and
+    measured 10.9 s vs 1.2 s for this form on sf10's 500k docs
+    (BASELINE.md round-7 notes); values are identical, including NULL
+    text -> NULL (no coalesce, exactly as regexp_count behaves)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_count(c, F.lit(BPE_TOKEN_RE))
+    return F.regexp_count(c, F.lit("[a-zA-Z0-9]+")) + F.length(
+        F.translate(c, _BPE_ALNUM_WS, "")
+    )
 
 
 def word_shingles(tokens_col: Column, k: int = 3) -> Column:
