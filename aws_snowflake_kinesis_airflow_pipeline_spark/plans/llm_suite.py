@@ -1493,6 +1493,75 @@ def _spandup_planted_values_sql() -> str:
     return f"(VALUES {rows}) AS sp(doc_id, text)"
 
 
+def span_dedup_oracle_ctes(docs_sql: str, window: int, max_df: int) -> str:
+    """DuckDB CTE chain replaying remove_duplicate_spans over ``docs_sql``
+    (a SELECT yielding (doc_id, text)) by EXACT run string — equal windows
+    hash equal by construction, so this is the rolling-hash semantics
+    minus only the ~n^2/2^64 collision the fixtures cannot produce.
+    Exposes ``stoks`` (doc_id, t), ``srebuilt`` (doc_id, clean_text,
+    n_kept) and ``sspanstats`` (doc_id, n_spans); shared by the c26
+    oracle and the off-fixture parity fuzz (test_oracle_parity_fuzz)."""
+    return f"""
+    sbase AS ({docs_sql}),
+    stoks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(COALESCE(text, ''), '\\s+'),
+                         x -> x <> '') AS t
+      FROM sbase
+    ),
+    sruns AS (
+      SELECT doc_id, pos,
+             ARRAY_TO_STRING(t[pos + 1 : pos + {window}], ' ') AS run
+      FROM (
+        SELECT doc_id, t,
+               UNNEST(RANGE(GREATEST(LEN(t) - {window} + 1, 0))) AS pos
+        FROM stoks
+      )
+    ),
+    smarked AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY run) AS df,
+             ROW_NUMBER() OVER (PARTITION BY run ORDER BY doc_id, pos) AS rn
+      FROM sruns
+    ),
+    sremoved AS (
+      SELECT doc_id, pos FROM smarked
+      WHERE df BETWEEN 2 AND {max_df} AND rn > 1
+    ),
+    sisl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NOT NULL AND pos - prev <= {window}
+                      THEN 0 ELSE 1 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM (SELECT doc_id, pos,
+                   LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM sremoved)
+    ),
+    sspans AS (
+      SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + {window} AS e
+      FROM sisl GROUP BY doc_id, grp
+    ),
+    stokpos AS (
+      SELECT doc_id, UNNEST(t) AS tok, generate_subscripts(t, 1) - 1 AS i
+      FROM stoks
+    ),
+    skept AS (
+      SELECT tp.doc_id, tp.tok, tp.i
+      FROM stokpos tp
+      WHERE NOT EXISTS (SELECT 1 FROM sspans s
+                        WHERE s.doc_id = tp.doc_id
+                          AND s.s <= tp.i AND tp.i < s.e)
+    ),
+    srebuilt AS (
+      SELECT doc_id, ARRAY_TO_STRING(LIST(tok ORDER BY i), ' ') AS clean_text,
+             COUNT(*) AS n_kept
+      FROM skept GROUP BY doc_id
+    ),
+    sspanstats AS (
+      SELECT doc_id, COUNT(*) AS n_spans FROM sspans GROUP BY doc_id
+    )"""
+
+
 @register(
     "c26_line_dedup",
     oracle=f"""
@@ -1521,71 +1590,13 @@ def _spandup_planted_values_sql() -> str:
       FROM kept GROUP BY doc_id
     ),
     totals AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id),
-    -- span branch (B47): replay the rolling-hash semantics by EXACT run
-    -- string (equal windows hash equal by construction; whitespace tokens
-    -- contain no spaces, so the single-space re-join is injective)
-    sbase AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id, text FROM {_spandup_planted_values_sql()}
-    ),
-    stoks AS (
-      SELECT doc_id,
-             LIST_FILTER(STRING_SPLIT_REGEX(COALESCE(text, ''), '\\s+'),
-                         x -> x <> '') AS t
-      FROM sbase
-    ),
-    sruns AS (
-      SELECT doc_id, pos,
-             ARRAY_TO_STRING(t[pos + 1 : pos + {_SPAN_W}], ' ') AS run
-      FROM (
-        SELECT doc_id, t,
-               UNNEST(RANGE(GREATEST(LEN(t) - {_SPAN_W} + 1, 0))) AS pos
-        FROM stoks
-      )
-    ),
-    smarked AS (
-      SELECT doc_id, pos,
-             COUNT(*) OVER (PARTITION BY run) AS df,
-             ROW_NUMBER() OVER (PARTITION BY run ORDER BY doc_id, pos) AS rn
-      FROM sruns
-    ),
-    sremoved AS (
-      SELECT doc_id, pos FROM smarked
-      WHERE df BETWEEN 2 AND {_SPAN_MAX_DF} AND rn > 1
-    ),
-    sisl AS (
-      SELECT doc_id, pos,
-             SUM(CASE WHEN prev IS NOT NULL AND pos - prev <= {_SPAN_W}
-                      THEN 0 ELSE 1 END)
-               OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-      FROM (SELECT doc_id, pos,
-                   LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-            FROM sremoved)
-    ),
-    sspans AS (
-      SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + {_SPAN_W} AS e
-      FROM sisl GROUP BY doc_id, grp
-    ),
-    stokpos AS (
-      SELECT doc_id, UNNEST(t) AS tok, generate_subscripts(t, 1) - 1 AS i
-      FROM stoks
-    ),
-    skept AS (
-      SELECT tp.doc_id, tp.tok, tp.i
-      FROM stokpos tp
-      WHERE NOT EXISTS (SELECT 1 FROM sspans s
-                        WHERE s.doc_id = tp.doc_id
-                          AND s.s <= tp.i AND tp.i < s.e)
-    ),
-    srebuilt AS (
-      SELECT doc_id, ARRAY_TO_STRING(LIST(tok ORDER BY i), ' ') AS clean_text,
-             COUNT(*) AS n_kept
-      FROM skept GROUP BY doc_id
-    ),
-    sspanstats AS (
-      SELECT doc_id, COUNT(*) AS n_spans FROM sspans GROUP BY doc_id
-    )
+    -- span branch (B47): shared CTE chain, see span_dedup_oracle_ctes
+    {span_dedup_oracle_ctes(
+        "SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT doc_id, text FROM {_spandup_planted_values_sql()}",
+        _SPAN_W,
+        _SPAN_MAX_DF,
+    )}
     SELECT 'line' AS branch, t.doc_id,
            COALESCE(r.clean_text, '') AS clean_text,
            t.n_lines AS n_units, COALESCE(r.n_kept, 0) AS n_kept,

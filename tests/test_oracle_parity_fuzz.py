@@ -531,3 +531,78 @@ def test_bucketed_interval_join_matches_naive_on_random_events(spark):
         ).collect()
     }
     assert bucketed == naive and len(naive) > 100
+
+
+def test_span_dedup_matches_duckdb_on_random_corpus(spark):
+    """B47: remove_duplicate_spans == the exact-run-string DuckDB replay
+    (the c26 'span' branch CTE chain, shared via span_dedup_oracle_ctes)
+    on a random corpus with planted duplicated passages at hostile
+    placements — doc starts, doc ends, back-to-back repeats, overlapping
+    removals from two different runs, and a run over max_df."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.spandup import (
+        remove_duplicate_spans,
+    )
+    from aws_snowflake_kinesis_airflow_pipeline_spark.plans.llm_suite import (
+        span_dedup_oracle_ctes,
+    )
+
+    rng = random.Random(31)
+    vocab = [f"v{i}" for i in range(120)]
+    window, max_df = 5, 4
+    hot = " ".join(f"ph{i}" for i in range(6))
+    docs = []
+    for i in range(80):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        body = " ".join(words)
+        # each 8-doc block gets its OWN passage so per-run df stays 4
+        # (= max_df, inclusive): 1 at a doc start + 1 at a doc end + 2
+        # back-to-back in a third doc
+        pas = " ".join(f"p{i // 8}w{j}" for j in range(9))
+        roll = i % 8
+        if roll == 0:
+            body = f"{pas} {body}"                  # at doc start
+        elif roll == 1:
+            body = f"{body} {pas}"                  # at doc end
+        elif roll == 2:
+            body = f"{pas} {pas} {body}"            # back-to-back repeat
+        elif roll == 4:
+            body = f"{hot} {body}"                  # df=10 > max_df=4
+        docs.append((i, body))
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed_tokens, r.n_spans)
+        for r in remove_duplicate_spans(
+            sdf, "doc_id", "text", window=window, max_df=max_df
+        ).collect()
+    }
+
+    pdf = pd.DataFrame({"doc_id": [i for i, _ in docs],
+                        "text": [t for _, t in docs]})
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            f"""
+            WITH {span_dedup_oracle_ctes(
+                "SELECT doc_id, text FROM docs", window, max_df)}
+            SELECT st.doc_id,
+                   COALESCE(sr.clean_text, '') AS clean_text,
+                   CAST(LEN(st.t) AS INT) AS n_tokens,
+                   CAST(LEN(st.t) - COALESCE(sr.n_kept, 0) AS INT)
+                     AS n_removed,
+                   CAST(COALESCE(ss.n_spans, 0) AS INT) AS n_spans
+            FROM stoks st
+            LEFT JOIN srebuilt sr USING (doc_id)
+            LEFT JOIN sspanstats ss USING (doc_id)
+            """
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    mism = {i: (got[i], want[i]) for i in got if got[i] != want[i]}
+    assert not mism, dict(list(mism.items())[:3])
+    # non-vacuous: removals happened in most blocks, and the over-max_df
+    # hot run was EXCLUDED (its carrier docs keep every token)
+    assert sum(g[3] for g in got.values()) >= 10
+    assert all(got[i][2] == 0 for i in range(4, 80, 8))
