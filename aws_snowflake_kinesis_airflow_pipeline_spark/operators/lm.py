@@ -100,22 +100,29 @@ def bigram_lm_scores(
     if max_fit_docs is not None:
         from .sampling import shuffle_hash
 
-        # The ivf_index fit pattern: ONE corpus scan (per-partition top-k
-        # under the portable permutation, no full sort, no tokenize),
-        # sample collected to the driver — bounded by max_fit_docs like
-        # ivf's max_fit_rows, the caller's sizing contract — then the
-        # whole fit lineage (tokenize, unigrams, bigrams) runs on the
-        # local sample-sized frame. Without this, every fit aggregation
-        # would re-scan the full corpus to re-derive a 0.001% sample.
+        # Two-phase draw, then the whole fit lineage (tokenize, unigrams,
+        # bigrams) runs on a local sample-sized frame — without this,
+        # every fit aggregation would re-scan the full corpus to
+        # re-derive a 0.001% sample. Phase 1 takes the top-k over IDS
+        # ONLY: the parquet scan prunes to the id column and the driver's
+        # top-k merge receives at most max_fit_docs 8-byte ids per
+        # partition (a top-k over (id, text) would merge that many TEXT
+        # rows per partition at the driver — 100k partitions x 200 docs
+        # x 1 KB is a driver OOM at cluster scale). Phase 2 fetches the
+        # <= max_fit_docs matching texts with a broadcast semi join and
+        # collects exactly that many rows.
         proj = docs.select(F.col(id_col), F.col(text_col))
-        sample = (
-            proj.orderBy(
+        fit_ids = spark.createDataFrame(
+            docs.select(F.col(id_col))
+            .orderBy(
                 shuffle_hash(F.col(id_col), fit_seed, portable=True),
                 F.col(id_col),
             )
             .limit(max_fit_docs)
-            .collect()
+            .collect(),
+            docs.select(id_col).schema,
         )
+        sample = proj.join(F.broadcast(fit_ids), id_col, "left_semi").collect()
         fit_docs = spark.createDataFrame(sample, proj.schema)
         fit_toks = fit_docs.select(F.col(id_col), t.alias("_t"))
     else:
