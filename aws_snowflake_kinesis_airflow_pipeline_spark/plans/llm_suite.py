@@ -1625,9 +1625,12 @@ def c26_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/linedup.py) and duplicate-SPAN removal ('span' branch,
     operators/spandup.py) over documents + per-branch planted rows.
 
-    Both branches rebuild every document byte-for-byte, so the driver hash
-    covers splitting/fingerprinting, df counting, canonical selection, the
-    strip/merge, and order-preserving reassembly. The span oracle replays
+    Both branches rebuild every document's clean_text and the driver hash
+    compares it byte-for-byte between engines — the line branch in the
+    original byte-exact line form, the span branch in the operator's
+    documented single-space token re-join — so splitting/fingerprinting,
+    df counting, canonical selection, the strip/merge, and
+    order-preserving reassembly are all under the hash. The span oracle replays
     the rolling-hash semantics by exact run STRING (equal windows hash
     equal by construction; the engine's 64-bit hash only diverges on a
     ~n^2/2^64 collision, which the fixture vocabulary cannot produce).
