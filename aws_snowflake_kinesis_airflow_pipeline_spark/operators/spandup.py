@@ -24,10 +24,10 @@ Contract (deterministic, replayed in pure Python by tests/test_spandup.py):
   64-bit rolling hash of the per-token xxhash64 sequence (collision odds
   ~n^2/2^64 for NON-ADVERSARIAL input only: the window hash is linear in
   the per-token hashes, so token sequences whose hash differences cancel
-  collide deterministically — pass the window sum through a
-  splitmix64-style finalizer before the groupBy if adversarially crafted
-  web text is in scope; a collision removes a non-duplicated span, never
-  corrupts surviving text).
+  collide deterministically — pass ``finalize=True`` to run each window
+  hash through a SplitMix64 finalizer inside the kernel if adversarially
+  crafted web text is in scope; a collision removes a non-duplicated
+  span, never corrupts surviving text).
 * The canonical occurrence of each distinct run — min (doc_id, pos) — is
   NOT removed. All other occurrences' windows are removed: per document,
   overlapping removed windows ``[p, p+window)`` merge into maximal spans,
@@ -93,14 +93,37 @@ def _inv_u64(b: np.uint64) -> np.uint64:
     return x
 
 
+def _splitmix64_finalize(z: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer (public-domain constants): full-avalanche
+    64-bit mix. Equal inputs stay equal (it is a bijection), so applying
+    it to the window hashes changes nothing about which windows collide
+    BY CONSTRUCTION — only about which collide by accident."""
+    z = z ^ (z >> np.uint64(30))
+    z = z * np.uint64(0xBF58476D1CE4E5B9)
+    z = z ^ (z >> np.uint64(27))
+    z = z * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def window_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 50,
+    finalize: bool = False,
 ) -> DataFrame:
     """(id, pos, whash): the 64-bit rolling hash of each ``window``-token
-    run. Documents with fewer than ``window`` tokens emit no rows."""
+    run. Documents with fewer than ``window`` tokens emit no rows.
+
+    ``finalize=True`` passes each window hash through a SplitMix64
+    finalizer before it leaves the kernel: the rolling hash is LINEAR in
+    the per-token hashes (see the module collision caveat), so an
+    adversary who controls the text can craft distinct runs whose hashes
+    cancel to equality; the finalizer is a bijection (identical runs
+    still collide, the operator's results on non-adversarial data are
+    the same distribution) but destroys the linear structure an attack
+    needs. Off by default: one extra vectorized pass per window, and the
+    driver fixtures don't contain adversaries."""
     if window < 2:
         raise ValueError("window_fingerprints: window must be >= 2")
     toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
@@ -163,6 +186,8 @@ def window_fingerprints(
                             out=inv_pows[1:],
                         )
                     flat[out_off[i] : out_off[i + 1]] = diff * inv_pows
+                if finalize:
+                    flat = _splitmix64_finalize(flat)
                 pos_flat = np.concatenate(
                     [np.arange(c, dtype=np.int32) for c in n_win if c > 0]
                 ) if total else np.empty(0, dtype=np.int32)
@@ -191,12 +216,13 @@ def duplicate_spans(
     text_col: str = "text",
     window: int = 50,
     max_df: int = 1000,
+    finalize: bool = False,
 ) -> DataFrame:
     """(id, spans array<struct<start int, end int>>): per document, the
     merged maximal token spans covered by duplicated windows, excluding
     each distinct run's canonical (min (doc_id, pos)) occurrence. Only
     documents with at least one removed span appear."""
-    fp = window_fingerprints(docs, id_col, text_col, window)
+    fp = window_fingerprints(docs, id_col, text_col, window, finalize)
     # ONE corpus-volume exchange: df count + canonical arg-min in the same
     # grouped pass; only duplicated runs (boilerplate-volume) survive.
     dup = (
@@ -268,11 +294,14 @@ def remove_duplicate_spans(
     text_col: str = "text",
     window: int = 50,
     max_df: int = 1000,
+    finalize: bool = False,
 ) -> DataFrame:
     """One row per input document: (id, clean_text, n_tokens,
     n_removed_tokens, n_spans) with every non-canonical duplicated run
-    removed and the kept tokens re-joined with single spaces."""
-    spans = duplicate_spans(docs, id_col, text_col, window, max_df)
+    removed and the kept tokens re-joined with single spaces.
+    ``finalize``: harden the window hash against adversarially crafted
+    collisions (see window_fingerprints)."""
+    spans = duplicate_spans(docs, id_col, text_col, window, max_df, finalize)
     toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     base = docs.select(F.col(id_col), toks.alias("_t"))
     joined = base.join(spans, id_col, "left")

@@ -230,3 +230,41 @@ def test_registered_c26_span_branch_planted_cases(spark, sf_dir):
     for i in range(6):
         r = got[9_100_005 + i]
         assert r.n_spans == 0 and r.n_kept == r.n_units == 14
+
+
+def test_finalized_hash_same_results_different_hashes(spark):
+    """finalize=True (the adversarial-input hardening) is a bijection of
+    the window hash: identical runs still collide, so the operator's
+    OUTPUT is unchanged on ordinary data — while the hashes themselves
+    are fully mixed (different from the linear form for every window)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h tail1"),
+            (2, "pre a b c d e f g h"),
+            (3, "x y z " + "a b c d e f g h " + "x y z"),
+            (4, "unique words only here now truly etc etc2 etc3"),
+        ],
+        "doc_id long, text string",
+    )
+    plain = sorted(
+        map(tuple, remove_duplicate_spans(docs, window=8).collect())
+    )
+    hardened = sorted(
+        map(
+            tuple,
+            remove_duplicate_spans(docs, window=8, finalize=True).collect(),
+        )
+    )
+    assert hardened == plain
+    h_plain = {
+        (r.doc_id, r.pos): r.whash
+        for r in window_fingerprints(docs, window=8).collect()
+    }
+    h_fin = {
+        (r.doc_id, r.pos): r.whash
+        for r in window_fingerprints(docs, window=8, finalize=True).collect()
+    }
+    assert set(h_plain) == set(h_fin)
+    assert all(h_plain[k] != h_fin[k] for k in h_plain)  # fully mixed
+    # equal runs still hash equal under the finalizer
+    assert h_fin[(1, 0)] == h_fin[(2, 1)] == h_fin[(3, 3)]
