@@ -102,10 +102,15 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
 def decode_ppm(payload: bytes) -> np.ndarray:
     """Decode binary PPM (P6) to an (H, W, 3) uint8 array.
 
-    Full format support: header tokens separated by any whitespace,
-    ``#`` comments between tokens, maxval up to 255 (8-bit samples; the
-    rare 16-bit variant is rejected, not misread). Raises ValueError on
-    anything malformed — the kernel maps that to ``px_ok = false``.
+    Header tokens separated by any whitespace, ``#`` comments between
+    tokens, maxval 255 only (full-range 8-bit samples: a smaller maxval
+    means samples need rescaling and the 16-bit variant needs byte
+    pairing — both are REJECTED, never misread as raw bytes). The raster
+    must be exactly ``3*w*h`` bytes after the single post-maxval
+    whitespace byte: a multi-byte separator (CRLF writers) or trailing
+    junk would silently shift every channel, so a length mismatch raises
+    instead. Raises ValueError on anything malformed — the kernel maps
+    that to ``px_ok = false``.
     """
     if not payload or payload[:2] != b"P6":
         raise ValueError("decode_ppm: not a P6 PPM payload")
@@ -131,13 +136,19 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     w, h, maxval = vals
     if w < 1 or h < 1:
         raise ValueError("decode_ppm: non-positive dimensions")
-    if not 0 < maxval < 256:
-        raise ValueError("decode_ppm: only 8-bit samples supported")
+    if maxval != 255:
+        raise ValueError(
+            "decode_ppm: only maxval=255 supported (smaller maxvals need"
+            " rescaling, 16-bit needs byte pairing — rejected, not misread)"
+        )
     need = w * h * 3
-    raster = payload[pos : pos + need]
-    if len(raster) != need:
-        raise ValueError("decode_ppm: truncated raster")
-    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    if n - pos != need:
+        raise ValueError(
+            f"decode_ppm: raster is {n - pos} bytes, expected exactly"
+            f" {need} (truncated payload, multi-byte separator, or"
+            " trailing junk)"
+        )
+    return np.frombuffer(payload[pos:], dtype=np.uint8).reshape(h, w, 3)
 
 
 def decode_image(payload: bytes) -> np.ndarray:

@@ -71,6 +71,14 @@ def salted_distinct_count_by_key(
     )
 
 
+def _require_salts(n_salts: int) -> None:
+    """n_salts < 1 must raise, not silently corrupt: replicating the right
+    side zero times makes an inner join return nothing (loud) but makes an
+    ANTI join keep EVERY left row — the filter silently disappears."""
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+
+
 def salted_inner_join(
     left: DataFrame,
     right: DataFrame,
@@ -87,6 +95,7 @@ def salted_inner_join(
     Use when the right side is too big to broadcast but small enough to
     replicate n_salts times; otherwise prefer AQE's skew-join split.
     """
+    _require_salts(n_salts)
     salted_left = left.withColumn(
         "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )
@@ -121,6 +130,7 @@ def salted_left_anti_join(
     production-default escape is broadcasting the small right side; use
     this form when the right side outgrows broadcast.
     """
+    _require_salts(n_salts)
     salted_left = left.withColumn(
         "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )

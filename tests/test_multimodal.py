@@ -74,7 +74,12 @@ def test_ppm_header_comments_and_whitespace():
         b"NOTANIMAGE",  # wrong magic
         b"P6\n2 1\n255\n\x00\x01",  # truncated raster
         b"P6\n2 1\n65535\n" + b"\x00" * 12,  # 16-bit samples rejected
+        b"P6\n2 1\n15\n" + b"\x0f" * 6,  # low maxval: rescale needed, reject
         b"P6\n0 1\n255\n",  # zero dimension
+        # CRLF after maxval: a one-byte-separator parse would silently
+        # shift every channel by one byte — must reject, not misdecode
+        b"P6\n2 1\n255\r\n" + bytes(range(6)),
+        b"P6\n2 1\n255\n" + bytes(range(6)) + b"\n",  # trailing junk
         b"\x89PNG\r\n\x1a\n",  # compressed format: named dependency
     ],
 )

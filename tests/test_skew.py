@@ -322,3 +322,18 @@ def test_linedup_hot_anti_join_mitigation_matrix(spark):
         assert expect(rows_salted)
         assert "_salt" in plan3 and "LeftAnti" in plan3
     assert sorted(map(tuple, rows_salted)) == sorted(map(tuple, rows_default))
+
+
+def test_nonpositive_salts_raise(spark):
+    """n_salts < 1 must raise: with zero salts the replicated right side
+    is empty, which makes an ANTI join silently keep every left row —
+    the filter disappears with no error."""
+    import pytest
+
+    df = skewed_df(spark)
+    right = df.select("k").distinct()
+    for n in (0, -1):
+        with pytest.raises(ValueError):
+            skew.salted_inner_join(df, right, "k", n_salts=n)
+        with pytest.raises(ValueError):
+            skew.salted_left_anti_join(df, right, "k", n_salts=n)

@@ -70,15 +70,26 @@ def normalize(rows, colnames):
     return out, [colnames[i] for i in order]
 
 
+def _is_num(v) -> bool:
+    return isinstance(v, (float, int, decimal.Decimal)) and not isinstance(
+        v, bool
+    )
+
+
 def cells_equal(a, b) -> bool:
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) or math.isnan(b):
-            return math.isnan(a) and math.isnan(b)
+    # Same uniform-numeric rule as sort_key: a Spark float vs a DuckDB
+    # Decimal/int for the same column must compare by VALUE with the
+    # float tolerance — Decimal.__eq__ against a binary float is exact
+    # and would fail rows the sort just aligned.
+    if _is_num(a) and _is_num(b):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) or math.isnan(fb):
+            return math.isnan(fa) and math.isnan(fb)
         # Tolerance matches the 6-dp sort-key granularity in normalize():
         # rows that tie on the sort key must also compare equal here, or
         # engine-dependent input order could pair them across a real (but
         # sub-sort-key) difference and report a spurious FAIL.
-        return math.isclose(a, b, rel_tol=1e-6, abs_tol=1e-6)
+        return math.isclose(fa, fb, rel_tol=1e-6, abs_tol=1e-6)
     return a == b
 
 
