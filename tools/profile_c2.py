@@ -3,6 +3,16 @@ at a given SF dir — separates the corpus shingle+signature pass, the
 bucket materialization, the banding self-join, and candidate verification
 so perf work targets the real dominator instead of the total.
 
+ATTRIBUTION CAVEAT (cost a re-derivation in round 7): each labeled stage
+materializes its own lineage, so a stage's number includes every
+UPSTREAM stage that isn't checkpointed — "bucket triple localCheckpoint"
+pays the shingle+signature kernel again, and looked like an 11 s stage
+when the checkpoint write itself is ~free (a with/without A/B on the
+full operator measured the checkpoint at breakeven warm). Read the
+stages as cumulative prefixes unless the input is already materialized;
+for per-stage deltas, subtract the previous line or A/B the full
+operator with the one change.
+
 Usage: python tools/profile_c2.py [sf_dir] (default .scale/sf10)
 """
 
