@@ -1197,8 +1197,41 @@ def c21_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, t,
              UNNEST(range(0, GREATEST(LEN(t) - 8, 1), 16)) AS chunk_start
       FROM toks WHERE LEN(t) > 0
+    ),
+    ltoks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INT)
+               AS token_id
+      FROM (
+        SELECT token, COUNT(*) AS cnt
+        FROM (SELECT UNNEST(t) AS token FROM ltoks)
+        GROUP BY 1 ORDER BY cnt DESC, token LIMIT 64
+      )
+    ),
+    pos AS (
+      SELECT doc_id,
+             UNNEST(t) AS token,
+             UNNEST(range(1, LEN(t) + 1)) AS pos
+      FROM ltoks
+    ),
+    enc AS (
+      SELECT p.doc_id, p.pos, COALESCE(v.token_id, 0) AS tid
+      FROM pos p LEFT JOIN vocab v USING (token)
+    ),
+    agg AS (
+      SELECT doc_id,
+             LIST(tid ORDER BY pos) AS ids,
+             COUNT(*) AS n_tokens,
+             SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS n_oov
+      FROM enc GROUP BY 1
     )
-    SELECT doc_id,
+    SELECT 'chunk' AS op, doc_id,
            CAST(chunk_start // 16 AS INT) AS chunk_idx,
            CAST(chunk_start AS INT) AS chunk_start,
            CAST(LEN(w) AS INT) AS chunk_n_tokens,
@@ -1208,21 +1241,79 @@ def c21_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
              LIST_SLICE(t, chunk_start + 1, chunk_start + 24) AS w
       FROM starts
     )
+    UNION ALL
+    SELECT 'encode' AS op, d.doc_id,
+           CAST(COALESCE(a.n_oov, 0) AS INT) AS chunk_idx,
+           CAST(1 AS INT) AS chunk_start,
+           CAST(COALESCE(a.n_tokens, 0) AS INT) AS chunk_n_tokens,
+           md5(COALESCE(ARRAY_TO_STRING(a.ids, ' '), '')) AS chunk_fp
+    FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
-    survey_ref="§2 B26 document chunking (overlapping token windows, "
-    "24-token chunks / 8-token overlap; oracle replays the identical "
-    "start-offset and slice arithmetic and fingerprints every window)",
+    survey_ref="§2 B26 document chunking ('chunk' branch: overlapping "
+    "token windows, 24-token chunks / 8-token overlap; oracle replays the "
+    "identical start-offset and slice arithmetic and fingerprints every "
+    "window) + §2 B42 token-ID encoding ('encode' branch: 64-token "
+    "frequency-rank vocab, per-doc id sequences fingerprinted, OOV "
+    "counts, and a decode→re-encode round-trip invariant the oracle pins "
+    "to 1 — in-vocab ids survive the round trip by vocab identity, OOV "
+    "positions re-encode to UNK by construction)",
 )
 def c22_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every document exploded into overlapping 24-token windows — chunk
-    offsets, lengths, and md5 window fingerprints, so the driver hash
-    covers every token boundary the chunker produces. Pure per-row array
-    expressions + posexplode; no shuffle (see operators/chunking.py)."""
-    from ..operators.chunking import chunk_documents
+    """Two-branch pack.
 
-    return chunk_documents(
-        _docs(spark, sf_dir), "doc_id", "text", chunk_tokens=24, overlap=8
+    'chunk': every document exploded into overlapping 24-token windows —
+    chunk offsets, lengths, and md5 window fingerprints, so the driver
+    hash covers every token boundary the chunker produces. Pure per-row
+    array expressions + posexplode; no shuffle (operators/chunking.py).
+
+    'encode': token-ID encoding (operators/encoding.py) under a 64-token
+    frequency-rank vocab — small enough that the fixture genuinely
+    exercises OOV. Per doc: n_oov (chunk_idx slot), n_tokens, md5 of the
+    id sequence (chunk_fp), and a decode→re-encode round-trip equality
+    bit (chunk_start slot) — decode emits '<unk>' at OOV positions, which
+    re-encodes to UNK_ID, so exact id-sequence equality is an invariant
+    of a CORRECT encode/decode pair, not of the data. The 64-row vocab is
+    localCheckpointed once so the three passes that reuse it (encode,
+    decode, re-encode) don't each recompute the corpus unigram scan."""
+    from ..operators.chunking import chunk_documents
+    from ..operators.encoding import build_vocab, decode_ids, encode_documents
+
+    docs = _docs(spark, sf_dir)
+    chunks = chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=24, overlap=8
+    ).select(
+        F.lit("chunk").alias("op"),
+        "doc_id",
+        "chunk_idx",
+        "chunk_start",
+        "chunk_n_tokens",
+        "chunk_fp",
     )
+    # Bounded (64 rows) by construction; lineage truncation here is what
+    # keeps this branch at ~2 corpus tokenize passes instead of 5.
+    vocab = build_vocab(docs, "text", vocab_size=64).localCheckpoint(eager=True)
+    enc = encode_documents(docs, vocab, id_col="doc_id", text_col="text")
+    reenc = encode_documents(
+        decode_ids(enc, vocab, id_col="doc_id"),
+        vocab,
+        id_col="doc_id",
+        text_col="text",
+    ).select("doc_id", F.col("token_ids").alias("_ids2"))
+
+    def ids_str(c):
+        return F.array_join(F.transform(c, lambda x: x.cast("string")), " ")
+
+    encode_branch = enc.join(reenc, "doc_id").select(
+        F.lit("encode").alias("op"),
+        "doc_id",
+        F.col("n_oov").cast("int").alias("chunk_idx"),
+        (F.md5(ids_str(F.col("token_ids"))) == F.md5(ids_str(F.col("_ids2"))))
+        .cast("int")
+        .alias("chunk_start"),
+        F.col("n_tokens").cast("int").alias("chunk_n_tokens"),
+        F.md5(ids_str(F.col("token_ids"))).alias("chunk_fp"),
+    )
+    return chunks.unionByName(encode_branch)
 
 
 @register(

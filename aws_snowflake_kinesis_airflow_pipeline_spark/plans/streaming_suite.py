@@ -12,7 +12,9 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.event_funnel import funnel_conversion
+from ..operators.retention import cohort_retention
 from ..operators.robust import grouped_mad_outliers_paired
+from ..operators.transitions import event_transitions
 from ..streaming import joins as J
 from ..streaming import windows as W
 from .registry import register
@@ -133,6 +135,38 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT 'purchase', (SELECT COUNT(*) FROM f3)
     ) s
+    UNION ALL
+    SELECT 'retention' AS op,
+           cohort AS window_start,
+           CAST(NULL AS TIMESTAMP) AS window_end,
+           CAST(period_offset AS VARCHAR) AS event_type,
+           COUNT(DISTINCT user_id) AS n
+    FROM (
+      SELECT e.user_id, f.cohort,
+             CAST(DATE_DIFF('day', f.cohort, DATE_TRUNC('week', e.ts)) // 7
+                  AS INT) AS period_offset
+      FROM events e
+      JOIN (
+        SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort
+        FROM events GROUP BY 1
+      ) f USING (user_id)
+    )
+    GROUP BY 1, 2, 3, 4
+    UNION ALL
+    SELECT 'transition' AS op,
+           CAST(NULL AS TIMESTAMP) AS window_start,
+           CAST(NULL AS TIMESTAMP) AS window_end,
+           from_type || '->' || to_type AS event_type,
+           COUNT(*) AS n
+    FROM (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    )
+    WHERE to_type IS NOT NULL
+    GROUP BY 1, 2, 3, 4
     """,
     survey_ref="§2 B14 tumbling (per event_type) + sliding (1h/30m) window "
     "counts + §2 B31 stream-stream interval-join hourly rollup + §2 B38 "
@@ -143,11 +177,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact hash-checked branch + the at-scale approx_percentile branch as "
     "an error band the oracle bounds to TRUE) + §2 B43 "
     "ordered funnel conversion (view→click→purchase within 1h, "
-    "greedy-earliest, strictly-ordered, per-user min-time chain), tagged "
-    "so one oracle checks the batch twins of all six operators",
+    "greedy-earliest, strictly-ordered, per-user min-time chain) + §2 B44 "
+    "cohort retention (weekly first-seen cohorts × whole-period offsets, "
+    "distinct returning users) + §2 B45 event-path transition counts "
+    "(per-user lead over (ts, event_id) — the explicit tiebreak makes "
+    "same-timestamp order data-determined), tagged so one oracle checks "
+    "the batch twins of all eight operators",
 )
 def s1_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seven-branch events pack. The MAD operator rides twice: the exact
+    """Nine-branch events pack. The MAD operator rides twice: the exact
     branch (oracle pairing requires exact percentiles) and the
     ``approx=True`` GK-digest branch that IS the 100 TB plan
     (memory-bounded merge state — see operators/robust.py), checked as an
@@ -218,6 +256,25 @@ def s1_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("step").alias("event_type"),
         F.col("n_users").alias("n"),
     )
+    # B44/B45 batch twins: cohort matrix keyed by its cohort week in
+    # window_start (offset stringified into the type slot), transition
+    # counts keyed as 'from->to'. The rate/probability projections
+    # (retention_rates / transition_matrix) are trivial broadcasts over
+    # these counts, pinned by tests/test_retention.py / test_transitions.py.
+    retention = cohort_retention(ev, period="week").select(
+        F.lit("retention").alias("op"),
+        F.col("cohort").alias("window_start"),
+        F.lit(None).cast("timestamp_ntz").alias("window_end"),
+        F.col("period_offset").cast("string").alias("event_type"),
+        F.col("n_users").alias("n"),
+    )
+    transitions = event_transitions(ev).select(
+        F.lit("transition").alias("op"),
+        F.lit(None).cast("timestamp_ntz").alias("window_start"),
+        F.lit(None).cast("timestamp_ntz").alias("window_end"),
+        F.concat_ws("->", "from_type", "to_type").alias("event_type"),
+        F.col("n"),
+    )
     return (
         tumbling.unionByName(sliding)
         .unionByName(joined)
@@ -225,6 +282,8 @@ def s1_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(outliers)
         .unionByName(approx_ok)
         .unionByName(funnel)
+        .unionByName(retention)
+        .unionByName(transitions)
     )
 
 

@@ -62,6 +62,14 @@ def normalize(rows, colnames):
         ):
             if isinstance(v, float) and math.isnan(v):
                 return (2, "NaN")
+            # ints key EXACTLY — round(float(v), 4) collapses ints > 2^53
+            # to identical keys, misaligning genuinely different id/count
+            # rows before the compare even runs. int-vs-float tuple
+            # comparison is numeric in Python, so a (1, int) key on one
+            # side still sorts consistently against a (1, float) key for
+            # the same value on the other.
+            if isinstance(v, int):
+                return (1, v)
             return (1, round(float(v), 4))
         return (1, str(v))
 
@@ -82,13 +90,17 @@ def cells_equal(a, b) -> bool:
     # float tolerance — Decimal.__eq__ against a binary float is exact
     # and would fail rows the sort just aligned.
     if _is_num(a) and _is_num(b):
+        # int-vs-int compares EXACTLY: isclose(9100000, 9100001) is True
+        # at rel_tol=1e-6, which would wave through an off-by-one id or
+        # count (the planted fixture doc ids live at 9.1M+). Tolerance is
+        # only for genuinely inexact arithmetic, i.e. when at least one
+        # side is float/Decimal (a Spark double vs a DuckDB Decimal for
+        # the same column must still compare by value, not type).
+        if isinstance(a, int) and isinstance(b, int):
+            return a == b
         fa, fb = float(a), float(b)
         if math.isnan(fa) or math.isnan(fb):
             return math.isnan(fa) and math.isnan(fb)
-        # Tolerance matches the 6-dp sort-key granularity in normalize():
-        # rows that tie on the sort key must also compare equal here, or
-        # engine-dependent input order could pair them across a real (but
-        # sub-sort-key) difference and report a spurious FAIL.
         return math.isclose(fa, fb, rel_tol=1e-6, abs_tol=1e-6)
     return a == b
 
