@@ -48,15 +48,22 @@ def semantic_dedup_pairs(
     threshold: float = 0.95,
     seed: int = 42,
     max_cluster_rows: int = 100_000,
+    max_fit_rows: int = 100_000,
 ) -> DataFrame:
     """Duplicate pairs (id1 < id2, cosine) found within k-means cells.
 
     Cosine is rounded to 4 dp (engine-wide float-parity convention).
+    ``max_fit_rows`` bounds the centroid-fit sample exactly as in
+    ``similarity.ivf_index`` (centroids converge far below the corpus).
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError("semantic_dedup_pairs: threshold must be in (0, 1]")
     _, indexed = ivf_index(
-        df.select(id_col, vec_col), vec_col, n_clusters, seed=seed
+        df.select(id_col, vec_col),
+        vec_col,
+        n_clusters,
+        seed=seed,
+        max_fit_rows=max_fit_rows,
     )
 
     def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -107,13 +114,28 @@ def semantic_dedup(
     threshold: float = 0.95,
     seed: int = 42,
     max_cluster_rows: int = 100_000,
+    pairs: DataFrame | None = None,
+    max_fit_rows: int = 100_000,
 ) -> DataFrame:
     """SemDeDup survivors: one representative (min id) per duplicate
     component; rows in no duplicate pair survive untouched. Returns the
-    input rows minus dropped duplicates."""
-    pairs = semantic_dedup_pairs(
-        df, id_col, vec_col, n_clusters, threshold, seed, max_cluster_rows
-    )
+    input rows minus dropped duplicates.
+
+    ``pairs`` lets a caller that ALSO needs the pair set (audit,
+    precision recheck) hand in one :func:`semantic_dedup_pairs` result
+    instead of paying the per-cell pairwise pass twice; it must come
+    from the same df/threshold or the survivor set is undefined."""
+    if pairs is None:
+        pairs = semantic_dedup_pairs(
+            df,
+            id_col,
+            vec_col,
+            n_clusters,
+            threshold,
+            seed,
+            max_cluster_rows,
+            max_fit_rows,
+        )
     comp = connected_components(pairs)
     dropped = (
         comp.groupBy("component")

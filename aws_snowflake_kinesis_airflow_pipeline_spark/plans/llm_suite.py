@@ -404,15 +404,22 @@ _C15_RECALL_FLOOR = 0.2
            TRUE AS needle_ok, TRUE AS recall_ok
     UNION ALL
     SELECT 'pq', CAST(10 AS BIGINT), TRUE, TRUE
+    UNION ALL
+    SELECT 'semdedup', CAST(4 AS BIGINT), TRUE, TRUE
     """,
     survey_ref="§2 B12 IVF ANN (KMeans cells, probe n nearest — scan "
     "fraction n_probe/n_clusters) + §2 B32 product quantization (ADC "
-    "top-k over m-byte codes, JVM-only scoring), one tagged pack; the "
-    "oracle bounds per-branch summary booleans (b8 sketch-band pattern): "
-    "the planted exact-duplicate needle must come back at rank 1 (ivf — "
-    "true cosine 1.0 is unbeatable) / in the top-k (pq — ADC rank 1 is "
-    "not a theorem under quantization), and recall@10 vs the exact scan "
-    "must clear the documented floor",
+    "top-k over m-byte codes, JVM-only scoring) + §2 B39 SemDeDup "
+    "cluster-scoped dedup (planted one-hot original/clone pairs: exact "
+    "duplicates share a k-means cell STRUCTURALLY, so the min-id "
+    "originals must survive and the clones must drop; precision rides "
+    "as a JVM recheck of every emitted pair's cosine against the numpy "
+    "kernel), one tagged pack; the oracle bounds per-branch summary "
+    "booleans (b8 sketch-band pattern): the planted exact-duplicate "
+    "needle must come back at rank 1 (ivf — true cosine 1.0 is "
+    "unbeatable) / in the top-k (pq — ADC rank 1 is not a theorem under "
+    "quantization), and recall@10 vs the exact scan must clear the "
+    "documented floor",
 )
 def c15_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF and PQ ANN over embeddings + a planted needle, reduced to the
@@ -485,7 +492,7 @@ def c15_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    return (
+    ann = (
         ranked.join(exact, ranked["vec_id"] == exact["exact_id"], "left")
         .groupBy("op")
         .agg(
@@ -498,6 +505,129 @@ def c15_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("exact_id") / F.lit(10.0) >= F.lit(_C15_RECALL_FLOOR)
             ).alias("recall_ok"),
         )
+    )
+    return ann.unionByName(_semdedup_branch(spark, base))
+
+
+#: (vec_id, one-hot coordinate) plants for the semdedup branch. Negative
+#: ids can't collide with fixture ids at any SF. Originals are MORE
+#: negative than their clones, so min-id survivorship must keep exactly
+#: the originals; -200 is an isolated probe in no duplicate pair (and,
+#: being the global min id, it survives even if some fixture vector
+#: unexpectedly matched it — the check cannot false-fail on data drift).
+_SEM_PLANTS = [
+    (-200, 10),
+    (-103, 0),
+    (-102, 1),
+    (-101, 2),
+    (-53, 0),
+    (-52, 1),
+    (-51, 2),
+]
+_SEM_SURVIVORS = [-200, -103, -102, -101]
+_SEM_THRESHOLD = 0.95
+
+
+def _cos_expr(a, b):
+    """Exact JVM cosine of two float arrays (whole-stage codegen; the
+    1.5e-4 slack at the call sites absorbs float32-vs-float64 accumulation
+    order differences vs the numpy kernel)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    sq = lambda v: F.aggregate(  # noqa: E731
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+    )
+    return dot / (F.sqrt(sq(a)) * F.sqrt(sq(b)))
+
+
+def _semdedup_branch(spark: SparkSession, base: DataFrame) -> DataFrame:
+    """B39 SemDeDup reduced to the c15 summary schema (op, n_results,
+    needle_ok, recall_ok).
+
+    * needle_ok — survivor-policy check on planted one-hot vectors:
+      identical vectors share a k-means cell STRUCTURALLY (assignment is
+      a pure function of the vector), so each (original, clone) pair is
+      always found and min-id survivorship must keep exactly
+      ``_SEM_SURVIVORS``; n_results counts them (4).
+    * recall_ok — precision recheck: every pair the numpy kernel emitted
+      is re-scored in the JVM (two independent cosine implementations)
+      and must sit within 1.5e-4 of the reported cosine and above
+      threshold − 1.5e-4. Pair volume is near-dup-sized, so the two
+      join-backs to the corpus are broadcast-small.
+
+    n_clusters scales as corpus/500 so per-cell pairwise work stays
+    bounded at any SF (the SemDeDup paper's knob); the planted checks are
+    clustering-independent, so the scaling cannot perturb the oracle row.
+    """
+    from ..operators import semdedup
+
+    plants = spark.createDataFrame(
+        [
+            (pid, [1.0 if j == coord else 0.0 for j in range(64)])
+            for pid, coord in _SEM_PLANTS
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    sem_in = base.unionByName(plants)
+    n_clusters = max(16, sem_in.count() // 500)
+    # Pairs feed both the survivor derivation and the precision recheck;
+    # tens of rows — materialize once instead of re-running the per-cell
+    # kernel pass per consumer.
+    pairs = semdedup.semantic_dedup_pairs(
+        sem_in,
+        "vec_id",
+        "embedding",
+        n_clusters=n_clusters,
+        threshold=_SEM_THRESHOLD,
+        max_fit_rows=20_000,
+    ).localCheckpoint(eager=True)
+    survivors = semdedup.semantic_dedup(
+        sem_in, "vec_id", "embedding", pairs=pairs
+    )
+    planted_status = survivors.filter(
+        F.col("vec_id").isin([pid for pid, _ in _SEM_PLANTS])
+    ).agg(
+        F.count("*").cast("long").alias("n_results"),
+        (
+            F.sort_array(F.collect_list("vec_id"))
+            == F.array(*[F.lit(v).cast("long") for v in sorted(_SEM_SURVIVORS)])
+        ).alias("needle_ok"),
+    )
+    v1 = sem_in.select(
+        F.col("vec_id").alias("id1"), F.col("embedding").alias("_v1")
+    )
+    v2 = sem_in.select(
+        F.col("vec_id").alias("id2"), F.col("embedding").alias("_v2")
+    )
+    recheck = (
+        F.broadcast(pairs)
+        .join(v1, "id1")
+        .join(v2, "id2")
+        .select(
+            _cos_expr(F.col("_v1"), F.col("_v2")).alias("_re"),
+            F.col("cosine"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (
+                        (F.abs(F.col("_re") - F.col("cosine")) > 1.5e-4)
+                        | (F.col("_re") < _SEM_THRESHOLD - 1.5e-4)
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias("_bad")
+        )
+    )
+    # 1x1 scalar combine (documented engine precedent, relational.py).
+    return planted_status.crossJoin(recheck).select(
+        F.lit("semdedup").alias("op"),
+        "n_results",
+        "needle_ok",
+        (F.col("_bad") == 0).alias("recall_ok"),
     )
 
 

@@ -270,6 +270,9 @@ def test_no_scale_killers_across_entire_registry(spark, sf_dir):
             "b_range_join_price_bands",
             # BM25: 1-row (N, avgdl) corpus-stats broadcast onto postings
             "c27_bm25_search",
+            # semdedup branch: 1-row x 1-row crossJoin combining the
+            # planted-survivor scalar with the pair-recheck scalar
+            "c15_cosine_topk_ivf",
         ):
             bad.append("BroadcastNestedLoopJoin")
         if bad:

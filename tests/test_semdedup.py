@@ -108,6 +108,18 @@ def test_survivors_min_id_per_component(spark, emb):
     assert {101, 201, 202, 301} <= want_dropped
 
 
+def test_precomputed_pairs_give_identical_survivors(spark, emb):
+    """The pairs= escape hatch (one kernel pass shared by survivor
+    derivation and audit consumers) must be behavior-identical to the
+    internal computation it replaces."""
+    own = {r["vec_id"] for r in semantic_dedup(emb, n_clusters=4).collect()}
+    pre = semantic_dedup_pairs(emb, n_clusters=4)
+    given = {
+        r["vec_id"] for r in semantic_dedup(emb, pairs=pre).collect()
+    }
+    assert given == own
+
+
 def test_zero_vector_matches_nothing(spark, emb):
     pairs = semantic_dedup_pairs(emb, n_clusters=4).collect()
     assert all(400 not in (r["id1"], r["id2"]) for r in pairs)
