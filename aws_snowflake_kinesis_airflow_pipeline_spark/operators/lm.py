@@ -101,29 +101,31 @@ def bigram_lm_scores(
         from .sampling import shuffle_hash
 
         # Two-phase draw, then the whole fit lineage (tokenize, unigrams,
-        # bigrams) runs on a local sample-sized frame — without this,
-        # every fit aggregation would re-scan the full corpus to
+        # bigrams) runs on a materialized sample-sized frame — without
+        # this, every fit aggregation would re-scan the full corpus to
         # re-derive a 0.001% sample. Phase 1 takes the top-k over IDS
-        # ONLY: the parquet scan prunes to the id column and the driver's
-        # top-k merge receives at most max_fit_docs 8-byte ids per
-        # partition (a top-k over (id, text) would merge that many TEXT
-        # rows per partition at the driver — 100k partitions x 200 docs
-        # x 1 KB is a driver OOM at cluster scale). Phase 2 fetches the
-        # <= max_fit_docs matching texts with a broadcast semi join and
-        # collects exactly that many rows.
+        # ONLY: the parquet scan prunes to the id column, each partition
+        # emits at most max_fit_docs 8-byte ids, and the k-row merge runs
+        # on an EXECUTOR (a top-k over (id, text) would merge that many
+        # TEXT rows per partition — 100k partitions x 200 docs x 1 KB of
+        # merge input at cluster scale). Phase 2 fetches the
+        # <= max_fit_docs matching texts with a broadcast semi join. Both
+        # phases pin via localCheckpoint: executor-resident, lineage
+        # truncated, and — unlike the collect()+createDataFrame round
+        # trip this replaced — no text row ever transits the driver.
         proj = docs.select(F.col(id_col), F.col(text_col))
-        fit_ids = spark.createDataFrame(
+        fit_ids = (
             docs.select(F.col(id_col))
             .orderBy(
                 shuffle_hash(F.col(id_col), fit_seed, portable=True),
                 F.col(id_col),
             )
             .limit(max_fit_docs)
-            .collect(),
-            docs.select(id_col).schema,
+            .localCheckpoint(eager=True)
         )
-        sample = proj.join(F.broadcast(fit_ids), id_col, "left_semi").collect()
-        fit_docs = spark.createDataFrame(sample, proj.schema)
+        fit_docs = proj.join(
+            F.broadcast(fit_ids), id_col, "left_semi"
+        ).localCheckpoint(eager=True)
         fit_toks = fit_docs.select(F.col(id_col), t.alias("_t"))
     else:
         fit_toks = toks

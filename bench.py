@@ -40,6 +40,20 @@ HEADLINE = (
     "s1_window_counts",
 )
 
+#: Pack queries whose per-branch cost is worth tracking separately in
+#: bench_details (query -> (tag column, branch values)). Filtering the
+#: pack frame on its literal tag column lets Catalyst fold the other
+#: union children away, so each branch is timed in isolation without any
+#: plan-layer changes. Diagnostic (1 rep): the headline number stays the
+#: whole-pack best-of-N above, and plan-BUILD-time work a pack does
+#: before the union (eager checkpoints, bounded fits, needle lookups) is
+#: charged to every branch — read the splits as relative shares.
+BRANCH_SPLITS = {
+    "c26_line_dedup": ("branch", ("line", "span")),
+    "c22_doc_chunks": ("op", ("chunk", "encode")),
+    "c15_cosine_topk_ivf": ("op", ("ivf", "pq", "semdedup")),
+}
+
 def suite_of(q) -> str:
     """Suite bucket from the registering module — robust to naming (b17
     lives in llm_suite despite its b-prefix)."""
@@ -127,6 +141,20 @@ def main() -> None:
         raw[name] = samples
         times[name] = min(samples)
 
+    branches: dict[str, dict[str, float]] = {}
+    for name, (tag, vals) in BRANCH_SPLITS.items():
+        if name not in QUERIES:
+            continue
+        from pyspark.sql import functions as F
+
+        per = {}
+        for v in vals:
+            t0 = time.perf_counter()
+            materialize(QUERIES[name].fn(spark, SF_DIR).filter(F.col(tag) == v))
+            per[v] = round(time.perf_counter() - t0, 3)
+            release_blocks(spark)
+        branches[name] = per
+
     total = round(sum(times.values()), 3)
     suites: dict[str, float] = {}
     for name, sec in times.items():
@@ -144,6 +172,7 @@ def main() -> None:
                 "queries": times,
                 "reps": reps,
                 "raw_samples": raw,
+                "branches": branches,
             },
             f,
             indent=1,
