@@ -21,13 +21,14 @@ Contract (deterministic, replayed in pure Python by tests/test_spandup.py):
   fingerprint normalization).
 * A document position ``p`` is *duplicated* when the corpus contains the
   identical ``window``-token run at some other (doc, pos) — equality by
-  64-bit rolling hash of the per-token xxhash64 sequence (collision odds
-  ~n^2/2^64 for NON-ADVERSARIAL input only: the window hash is linear in
+  64-bit rolling hash of the per-token xxhash64 sequence, passed through
+  a SplitMix64 finalizer by default (the raw rolling hash is linear in
   the per-token hashes, so token sequences whose hash differences cancel
-  collide deterministically — pass ``finalize=True`` to run each window
-  hash through a SplitMix64 finalizer inside the kernel if adversarially
-  crafted web text is in scope; a collision removes a non-duplicated
-  span, never corrupts surviving text).
+  collide deterministically; the finalizer destroys that structure, and
+  the sf10 A/B measured it at <= 0% cost — ``finalize=False`` opts back
+  into the raw hash for replaying pre-round-8 runs; collision odds are
+  then ~n^2/2^64 for NON-ADVERSARIAL input only, and a collision removes
+  a non-duplicated span, never corrupts surviving text).
 * The canonical occurrence of each distinct run — min (doc_id, pos) — is
   NOT removed. All other occurrences' windows are removed: per document,
   overlapping removed windows ``[p, p+window)`` merge into maximal spans,
@@ -110,7 +111,7 @@ def window_fingerprints(
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 50,
-    finalize: bool = False,
+    finalize: bool = True,
 ) -> DataFrame:
     """(id, pos, whash): the 64-bit rolling hash of each ``window``-token
     run. Documents with fewer than ``window`` tokens emit no rows.
@@ -122,8 +123,11 @@ def window_fingerprints(
     cancel to equality; the finalizer is a bijection (identical runs
     still collide, the operator's results on non-adversarial data are
     the same distribution) but destroys the linear structure an attack
-    needs. Off by default: one extra vectorized pass per window, and the
-    driver fixtures don't contain adversaries."""
+    needs. ON by default since round 8: the design domain is web text —
+    the adversarial case — and the A/B at sf10 (500k docs, 4 interleaved
+    runs) measured the finalizer at <= 0% cost (14.2-15.1 s vs
+    17.8-22.4 s; the extra mix is free inside the memory-bound kernel).
+    ``finalize=False`` keeps the raw linear hash for replaying old runs."""
     if window < 2:
         raise ValueError("window_fingerprints: window must be >= 2")
     toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
@@ -216,7 +220,7 @@ def duplicate_spans(
     text_col: str = "text",
     window: int = 50,
     max_df: int = 1000,
-    finalize: bool = False,
+    finalize: bool = True,
 ) -> DataFrame:
     """(id, spans array<struct<start int, end int>>): per document, the
     merged maximal token spans covered by duplicated windows, excluding
@@ -294,7 +298,7 @@ def remove_duplicate_spans(
     text_col: str = "text",
     window: int = 50,
     max_df: int = 1000,
-    finalize: bool = False,
+    finalize: bool = True,
 ) -> DataFrame:
     """One row per input document: (id, clean_text, n_tokens,
     n_removed_tokens, n_spans) with every non-canonical duplicated run

@@ -233,10 +233,10 @@ def test_registered_c26_span_branch_planted_cases(spark, sf_dir):
 
 
 def test_finalized_hash_same_results_different_hashes(spark):
-    """finalize=True (the adversarial-input hardening) is a bijection of
-    the window hash: identical runs still collide, so the operator's
-    OUTPUT is unchanged on ordinary data — while the hashes themselves
-    are fully mixed (different from the linear form for every window)."""
+    """The SplitMix64 finalizer (default ON since round 8) is a bijection
+    of the window hash: identical runs still collide, so the operator's
+    OUTPUT is unchanged vs the raw linear form on ordinary data — while
+    the hashes themselves are fully mixed (different for every window)."""
     docs = spark.createDataFrame(
         [
             (1, "a b c d e f g h tail1"),
@@ -247,7 +247,10 @@ def test_finalized_hash_same_results_different_hashes(spark):
         "doc_id long, text string",
     )
     plain = sorted(
-        map(tuple, remove_duplicate_spans(docs, window=8).collect())
+        map(
+            tuple,
+            remove_duplicate_spans(docs, window=8, finalize=False).collect(),
+        )
     )
     hardened = sorted(
         map(
@@ -258,7 +261,7 @@ def test_finalized_hash_same_results_different_hashes(spark):
     assert hardened == plain
     h_plain = {
         (r.doc_id, r.pos): r.whash
-        for r in window_fingerprints(docs, window=8).collect()
+        for r in window_fingerprints(docs, window=8, finalize=False).collect()
     }
     h_fin = {
         (r.doc_id, r.pos): r.whash
