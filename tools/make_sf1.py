@@ -83,16 +83,41 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scale", default_name,
     )
+    # Optional table subset (comma list), e.g. "documents" for the
+    # dedup-family sf100 decade: 1000 replicas of lineitem (600 M rows)
+    # neither fits a sane derivation budget nor informs the dedup decade.
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for table in list(KEY_SHIFTS) + list(DIMS):
+        if only is not None and table not in only:
+            continue
         src = f"{SRC}/{table}.parquet"
         dst = f"{out}/{table}.parquet"
         con.execute(f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{src}'")
         cols = [r[0] for r in con.execute("DESCRIBE src").fetchall()]
         n_rep = 1 if table in DIMS else replicas
-        union = " UNION ALL ".join(replica_select(table, cols, i) for i in range(n_rep))
-        con.execute(f"COPY ({union}) TO '{dst}' (FORMAT PARQUET)")
+        if n_rep <= 100:
+            union = " UNION ALL ".join(
+                replica_select(table, cols, i) for i in range(n_rep)
+            )
+            con.execute(f"COPY ({union}) TO '{dst}' (FORMAT PARQUET)")
+        else:
+            # A 1000-child UNION ALL plan is where DuckDB's planner gets
+            # slow; accumulate in chunks through a temp table instead.
+            con.execute(
+                "CREATE OR REPLACE TABLE _acc AS "
+                + replica_select(table, cols, 0)
+                + " LIMIT 0"
+            )
+            for start in range(0, n_rep, 25):
+                chunk = " UNION ALL ".join(
+                    replica_select(table, cols, i)
+                    for i in range(start, min(start + 25, n_rep))
+                )
+                con.execute(f"INSERT INTO _acc {chunk}")
+            con.execute(f"COPY _acc TO '{dst}' (FORMAT PARQUET)")
+            con.execute("DROP TABLE _acc")
         n = con.execute(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
         print(f"{table}: {n} rows -> {dst}")
 
