@@ -574,8 +574,9 @@ def _semdedup_branch(spark: SparkSession, base: DataFrame) -> DataFrame:
     sem_in = base.unionByName(plants)
     n_clusters = max(16, sem_in.count() // 500)
     # Pairs feed both the survivor derivation and the precision recheck;
-    # tens of rows — materialize once instead of re-running the per-cell
-    # kernel pass per consumer.
+    # tens of rows — checkpoint so the per-cell kernel pass runs once,
+    # lazily: connected_components' own build-time actions materialize it
+    # (an eager checkpoint here measured as one redundant extra job).
     pairs = semdedup.semantic_dedup_pairs(
         sem_in,
         "vec_id",
@@ -583,7 +584,7 @@ def _semdedup_branch(spark: SparkSession, base: DataFrame) -> DataFrame:
         n_clusters=n_clusters,
         threshold=_SEM_THRESHOLD,
         max_fit_rows=20_000,
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     survivors = semdedup.semantic_dedup(
         sem_in, "vec_id", "embedding", pairs=pairs
     )
