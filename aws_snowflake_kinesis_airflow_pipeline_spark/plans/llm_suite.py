@@ -1375,7 +1375,10 @@ def c21_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'encode' AS op, d.doc_id,
            CAST(COALESCE(a.n_oov, 0) AS INT) AS chunk_idx,
-           CAST(1 AS INT) AS chunk_start,
+           CASE WHEN d.doc_id IN (
+             SELECT doc_id FROM documents
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 256
+           ) THEN CAST(1 AS INT) ELSE CAST(NULL AS INT) END AS chunk_start,
            CAST(COALESCE(a.n_tokens, 0) AS INT) AS chunk_n_tokens,
            md5(COALESCE(ARRAY_TO_STRING(a.ids, ' '), '')) AS chunk_fp
     FROM documents d LEFT JOIN agg a USING (doc_id)
@@ -1386,8 +1389,9 @@ def c21_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window) + §2 B42 token-ID encoding ('encode' branch: 64-token "
     "frequency-rank vocab, per-doc id sequences fingerprinted, OOV "
     "counts, and a decode→re-encode round-trip invariant the oracle pins "
-    "to 1 — in-vocab ids survive the round trip by vocab identity, OOV "
-    "positions re-encode to UNK by construction)",
+    "to 1 on a deterministic 256-doc portable-md5 sample both engines "
+    "name identically — in-vocab ids survive the round trip by vocab "
+    "identity, OOV positions re-encode to UNK by construction)",
 )
 def c22_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-branch pack.
@@ -1403,9 +1407,14 @@ def c22_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     id sequence (chunk_fp), and a decode→re-encode round-trip equality
     bit (chunk_start slot) — decode emits '<unk>' at OOV positions, which
     re-encodes to UNK_ID, so exact id-sequence equality is an invariant
-    of a CORRECT encode/decode pair, not of the data. The 64-row vocab is
-    localCheckpointed once so the three passes that reuse it (encode,
-    decode, re-encode) don't each recompute the corpus unigram scan."""
+    of a CORRECT encode/decode pair, not of the data. The round trip runs
+    on a bounded 256-doc portable-md5 sample (non-sampled rows carry
+    NULL): a full-corpus decode+re-encode is two extra corpus token
+    exchanges nobody would pay as a standing audit at 100 TB — the A/B
+    measured it at ~8 s of c22's 15 s at sf10 — and the sample is
+    deterministic SQL, so the oracle names the exact same 256 ids. The
+    64-row vocab is localCheckpointed once so the passes that reuse it
+    (encode, decode, re-encode) don't each recompute the unigram scan."""
     from ..operators.chunking import chunk_documents
     from ..operators.encoding import build_vocab, decode_ids, encode_documents
 
@@ -1424,8 +1433,27 @@ def c22_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps this branch at ~2 corpus tokenize passes instead of 5.
     vocab = build_vocab(docs, "text", vocab_size=64).localCheckpoint(eager=True)
     enc = encode_documents(docs, vocab, id_col="doc_id", text_col="text")
+    # Round-trip audit sample: the 256 smallest portable-md5 doc ids —
+    # ids-only top-k (executor merge) + broadcast semi fetch, the lm.py
+    # draw pattern, replayed verbatim by the oracle's ORDER BY md5 LIMIT.
+    audit_ids = (
+        docs.select("doc_id")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(256)
+    )
+    # Encoding is per-doc independent under a fixed vocab, so the audit
+    # encodes its 256 documents FROM SCRATCH (a bounded explode) instead
+    # of semi-joining the corpus encode — which would re-derive the full
+    # corpus pass a second time inside the final action (measured +4 s
+    # at sf10; exchange reuse does not reach across the semi-join).
+    docs_audit = docs.select("doc_id", "text").join(
+        F.broadcast(audit_ids), "doc_id", "left_semi"
+    )
+    enc_audit = encode_documents(
+        docs_audit, vocab, id_col="doc_id", text_col="text"
+    )
     reenc = encode_documents(
-        decode_ids(enc, vocab, id_col="doc_id"),
+        decode_ids(enc_audit, vocab, id_col="doc_id"),
         vocab,
         id_col="doc_id",
         text_col="text",
@@ -1434,13 +1462,17 @@ def c22_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ids_str(c):
         return F.array_join(F.transform(c, lambda x: x.cast("string")), " ")
 
-    encode_branch = enc.join(reenc, "doc_id").select(
+    encode_branch = enc.join(reenc, "doc_id", "left").select(
         F.lit("encode").alias("op"),
         "doc_id",
         F.col("n_oov").cast("int").alias("chunk_idx"),
-        (F.md5(ids_str(F.col("token_ids"))) == F.md5(ids_str(F.col("_ids2"))))
-        .cast("int")
-        .alias("chunk_start"),
+        F.when(
+            F.col("_ids2").isNotNull(),
+            (
+                F.md5(ids_str(F.col("token_ids")))
+                == F.md5(ids_str(F.col("_ids2")))
+            ).cast("int"),
+        ).alias("chunk_start"),
         F.col("n_tokens").cast("int").alias("chunk_n_tokens"),
         F.md5(ids_str(F.col("token_ids"))).alias("chunk_fp"),
     )
