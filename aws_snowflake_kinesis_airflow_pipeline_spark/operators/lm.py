@@ -113,6 +113,12 @@ def bigram_lm_scores(
         # phases pin via localCheckpoint: executor-resident, lineage
         # truncated, and — unlike the collect()+createDataFrame round
         # trip this replaced — no text row ever transits the driver.
+        # Trade-off: localCheckpoint blocks are NOT replicated and the
+        # truncated lineage cannot recompute them, so on a cluster with
+        # preemption/dynamic allocation an executor loss mid-query fails
+        # the job; deployments exposed to that should swap in reliable
+        # checkpoint() (spark.sparkContext.setCheckpointDir) or a
+        # replicated persist for these two sample-sized pins.
         proj = docs.select(F.col(id_col), F.col(text_col))
         fit_ids = (
             docs.select(F.col(id_col))

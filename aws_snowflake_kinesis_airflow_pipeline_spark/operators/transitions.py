@@ -24,9 +24,15 @@ def event_transitions(
     type_col: str = "event_type",
     tiebreak_col: str = "event_id",
 ) -> DataFrame:
-    """(from_type, to_type, n) over consecutive same-user events."""
+    """(from_type, to_type, n) over consecutive same-user events.
+
+    Tiebreak NULLs sort LAST: Spark's default asc is NULLS FIRST while the
+    ANSI engines this operator is replayed against (the s1 DuckDB oracle)
+    default to NULLS LAST — pinning asc_nulls_last makes the tied-ts order
+    engine-independent even on data with NULL tiebreak ids.
+    """
     w = Window.partitionBy(user_col).orderBy(
-        F.col(ts_col), F.col(tiebreak_col)
+        F.col(ts_col), F.col(tiebreak_col).asc_nulls_last()
     )
     nxt = events.select(
         F.col(type_col).alias("from_type"),

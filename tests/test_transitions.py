@@ -73,6 +73,23 @@ def test_tie_determinism(spark):
     }
 
 
+def test_null_tiebreak_sorts_last(spark):
+    # A NULL event_id on a tied timestamp sorts AFTER the non-NULL ids
+    # (asc_nulls_last), matching the ANSI NULLS LAST default the s1
+    # DuckDB oracle's ORDER BY ts, event_id uses — without the pin,
+    # Spark's NULLS FIRST default would silently flip this journey to
+    # err -> view -> click.
+    rows = [
+        (20, 1, T0, "view"),
+        (None, 1, T0, "err"),  # same ts, NULL id -> last of the tie
+        (22, 1, T0 + dt.timedelta(minutes=1), "click"),
+    ]
+    assert _run(spark, rows) == {
+        ("view", "err"): 1,
+        ("err", "click"): 1,
+    }
+
+
 def test_randomized_against_python_and_partitions(spark):
     rng = random.Random(31)
     rows = []
