@@ -44,32 +44,125 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+#: Portable-md5 bucket that derives the diff branch's "v2" snapshot from
+#: the documents fixture — a pure function of doc_id, so both engines
+#: name the same rows: bucket 0 dropped (removed), bucket 1 perturbed
+#: (changed), bucket 2 re-added under a shifted id (added), rest kept.
+_DIFF_SEED, _DIFF_ADD_SHIFT = 41, 2_000_000
+_DIFF_FP_SQL = (
+    "md5(TRIM(REGEXP_REPLACE(LOWER(COALESCE(text, CHR(0) || 'null' || CHR(0))), "
+    "'\\s+', ' ', 'g')))"
+)
+
+
 @register(
     "c1_exact_dedup",
-    oracle="""
-    SELECT text, MIN(doc_id) AS doc_id, ARG_MIN(lang, doc_id) AS lang
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT doc_id, text, lang,
+             CAST(CONCAT('0x',
+                    SUBSTR(md5(CONCAT('{_DIFF_SEED}:', CAST(doc_id AS VARCHAR))), 1, 8))
+                  AS UBIGINT) % 10 AS b
+      FROM documents
+    ),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN b = 1 THEN text || ' v2marker' ELSE text END AS text
+      FROM bucketed WHERE b <> 0
+      UNION ALL
+      SELECT doc_id + {_DIFF_ADD_SHIFT} AS doc_id, text
+      FROM bucketed WHERE b = 2
+    ),
+    fpo AS (SELECT doc_id, {_DIFF_FP_SQL} AS fp FROM documents),
+    fpn AS (SELECT doc_id, {_DIFF_FP_SQL} AS fp FROM v2)
+    SELECT 'exact' AS branch, MIN(doc_id) AS doc_id, text AS payload,
+           ARG_MIN(lang, doc_id) AS lang
     FROM (
       SELECT doc_id, text, lang FROM documents
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents
     )
     GROUP BY text
+    UNION ALL
+    SELECT 'diff' AS branch, COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.fp IS NULL THEN 'added'
+                WHEN n.fp IS NULL THEN 'removed'
+                WHEN o.fp <> n.fp THEN 'changed'
+                ELSE 'unchanged' END AS payload,
+           CAST(NULL AS VARCHAR) AS lang
+    FROM fpo o FULL OUTER JOIN fpn n ON o.doc_id = n.doc_id
     """,
-    survey_ref="§2 B11 exact dedup (hash group-by, deterministic keeper)",
+    survey_ref="§2 B11 exact dedup ('exact' branch: hash group-by, "
+    "deterministic keeper) + §2 B41 corpus snapshot diff ('diff' branch: "
+    "full-outer join on (id, normalized-content md5 fingerprint) vs a "
+    "portable-md5-derived v2 of the fixture — per-id added/removed/"
+    "changed/unchanged replayed bit-for-bit)",
 )
 def c1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup over a corpus with every doc duplicated (union of the
-    fixture with an id-shifted copy) — keeps min doc_id per distinct text."""
+    """Tagged dedup-maintenance pack. 'exact' branch: exact dedup over a
+    corpus with every doc duplicated (union of the fixture with an
+    id-shifted copy) — keeps min doc_id per distinct text; payload = the
+    distinct text. 'diff' branch (operators/diffing.py): corpus_diff of
+    the fixture vs a deterministically derived v2 snapshot (portable-md5
+    doc_id buckets: 0 removed, 1 text-perturbed, 2 cloned under a shifted
+    id) — payload = per-id status, every id in either snapshot under the
+    driver hash. Both branches are one key exchange each: groupBy(text)
+    for exact, full-outer join on doc_id over (id, 16-byte fingerprint)
+    projections for diff — the diff exchange never carries bodies."""
+    from ..operators.diffing import corpus_diff
+    from ..operators.sampling import shuffle_hash
+
     docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
     shifted = docs.withColumn("doc_id", F.col("doc_id") + 1000000)
     corpus = docs.union(shifted)
     out = dedup.exact_dedup(corpus, key_cols=["text"], id_col="doc_id")
-    return out.select("text", "doc_id", "lang")
+    exact = out.select(
+        F.lit("exact").alias("branch"),
+        "doc_id",
+        F.col("text").alias("payload"),
+        "lang",
+    )
+
+    v1 = docs.select("doc_id", "text")
+    bucketed = v1.withColumn(
+        "_b", shuffle_hash(F.col("doc_id"), seed=_DIFF_SEED, portable=True) % 10
+    )
+    v2 = (
+        bucketed.filter(F.col("_b") != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("_b") == 1, F.concat(F.col("text"), F.lit(" v2marker"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            bucketed.filter(F.col("_b") == 2).select(
+                (F.col("doc_id") + _DIFF_ADD_SHIFT).alias("doc_id"), "text"
+            )
+        )
+    )
+    diff = corpus_diff(v1, v2, "doc_id", "text").select(
+        F.lit("diff").alias("branch"),
+        "doc_id",
+        F.col("status").alias("payload"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    return exact.unionByName(diff)
 
 
-_EXACT_JACCARD_PAIRS_SQL = """
-    WITH toks AS (
-      SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '') AS t FROM documents
+def exact_jaccard_pairs_ctes(
+    docs_src: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """The exact-Jaccard ≥0.8 pair CTE chain over ``docs_src`` (any SQL
+    source yielding (doc_id, text)) ending in a ``jpairs`` relation —
+    shared by the c2/c16 oracles (over the plain fixture) and the c17
+    leakage branch (fixture + planted clone groups)."""
+    return f"""
+    toks AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '') AS t
+      FROM ({docs_src})
     ),
     sh AS (
       SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
@@ -81,13 +174,20 @@ _EXACT_JACCARD_PAIRS_SQL = """
       SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS m
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
-    SELECT id1, id2,
-           ROUND(m * 1.0 / (s1.n + s2.n - m), 4) AS jaccard
-    FROM inter
-    JOIN sizes s1 ON id1 = s1.doc_id
-    JOIN sizes s2 ON id2 = s2.doc_id
-    WHERE ROUND(m * 1.0 / (s1.n + s2.n - m), 4) >= 0.8
+    ),
+    jpairs AS (
+      SELECT id1, id2,
+             ROUND(m * 1.0 / (s1.n + s2.n - m), 4) AS jaccard
+      FROM inter
+      JOIN sizes s1 ON id1 = s1.doc_id
+      JOIN sizes s2 ON id2 = s2.doc_id
+      WHERE ROUND(m * 1.0 / (s1.n + s2.n - m), 4) >= 0.8
+    )"""
+
+
+_EXACT_JACCARD_PAIRS_SQL = f"""
+    WITH {exact_jaccard_pairs_ctes()}
+    SELECT id1, id2, jaccard FROM jpairs
 """
 
 
@@ -875,16 +975,64 @@ def c11_lang_id_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Planted near-dup clone groups for the c17 leakage branch — invented
+#: vocabulary disjoint from the fixture (and between groups), so the pair
+#: graph over documents ∪ plants gains exactly these components: {9000001,
+#: 9000002}, {9000003..9000005}, and 9000006 stays a singleton. Exact
+#: clones ⇒ MinHash recall is structural (identical signatures), so the
+#: exact-Jaccard oracle replay names the same pairs at any SF.
+_LEAK_PLANTED = [
+    (9000001, "zephlor quandrix velmotta kaprenth osculind brizzorn", "xx"),
+    (9000002, "zephlor quandrix velmotta kaprenth osculind brizzorn", "xx"),
+    (9000003, "mottravel skenquill droxibar faluneth gorpandel wexitron", "xx"),
+    (9000004, "mottravel skenquill droxibar faluneth gorpandel wexitron", "xx"),
+    (9000005, "mottravel skenquill droxibar faluneth gorpandel wexitron", "xx"),
+    (9000006, "solvintra quebexor manthiloy repkindra zulvoster catrinquel", "xx"),
+]
+
+
+def _leak_planted_values_sql() -> str:
+    rows = ", ".join(
+        f"({i}, '{t}', '{lang}')" for i, t, lang in _LEAK_PLANTED
+    )
+    return f"(VALUES {rows}) v(doc_id, text, lang)"
+
+
 @register(
     "c17_train_val_split",
-    oracle="""
-    SELECT doc_id, lang, split,
-           ROW_NUMBER() OVER (
+    oracle=f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id, text, lang FROM {_leak_planted_values_sql()}
+    ),
+    {exact_jaccard_pairs_ctes("SELECT doc_id, text FROM corpus")},
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM jpairs
+      UNION
+      SELECT id2 AS a, id1 AS b FROM jpairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+    ),
+    keyed AS (
+      SELECT c.doc_id, c.lang,
+             COALESCE(p.component, c.doc_id) AS split_key
+      FROM corpus c LEFT JOIN comp p USING (doc_id)
+    )
+    SELECT 'plain' AS branch, doc_id, lang, split,
+           CAST(ROW_NUMBER() OVER (
              PARTITION BY split
              ORDER BY CAST(CONCAT('0x', SUBSTR(md5(CONCAT('7:', CAST(doc_id AS VARCHAR))), 1, 8))
                            AS UBIGINT),
                       doc_id
-           ) AS shuffle_rank
+           ) AS BIGINT) AS shuffle_rank,
+           CAST(NULL AS BIGINT) AS split_key
     FROM (
       SELECT doc_id, lang,
              CASE WHEN CAST(CONCAT('0x', SUBSTR(md5(CAST(text AS VARCHAR)), 1, 8))
@@ -892,13 +1040,36 @@ def c11_lang_id_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 'val' ELSE 'train' END AS split
       FROM documents
     )
+    UNION ALL
+    SELECT 'leakage' AS branch, doc_id, lang,
+           CASE WHEN CAST(CONCAT('0x', SUBSTR(md5(CAST(split_key AS VARCHAR)), 1, 8))
+                     AS UBIGINT) % 1000 < 100
+                THEN 'val' ELSE 'train' END AS split,
+           CAST(NULL AS BIGINT) AS shuffle_rank,
+           split_key
+    FROM keyed
     """,
     survey_ref="north-star deterministic train/val split (content-hash "
-    "bucketing) + §2 B21 deterministic training-order shuffle: shuffle_rank "
-    "is the per-split position under the portable md5 permutation, "
-    "recomputed bit-for-bit by the oracle",
+    "bucketing, 'plain' branch) + §2 B21 deterministic training-order "
+    "shuffle (shuffle_rank = per-split position under the portable md5 "
+    "permutation, recomputed bit-for-bit) + §2 B46 leakage-safe split "
+    "('leakage' branch: MinHash-LSH pairs → connected components → split "
+    "keyed on the cluster-canonical min id; the oracle replays exact-"
+    "Jaccard pairs, a recursive-CTE transitive closure, and the md5 "
+    "bucket of every document's split_key — planted clone groups pin the "
+    "no-straddle guarantee at every SF)",
 )
 def c17_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged split pack. 'plain' branch: per-document content-hash split
+    + deterministic shuffle rank. 'leakage' branch (operators/leakage.py):
+    near-dup clusters (LSH pairs → connected components) draw ONE split
+    via their canonical min-id key, so near-duplicates can never straddle
+    train/val — the driver hash covers every document's (split_key,
+    split), which IS the no-straddle property (same key ⇒ same split).
+    Scale shape: pair/component volume is near-dup-sized; the only
+    corpus-sized steps are one left join to the component table and the
+    hash-split projection."""
+    from ..operators.leakage import leakage_safe_split
     from ..operators.sampling import with_shuffle_rank, with_split
 
     docs = _docs(spark, sf_dir)
@@ -906,7 +1077,29 @@ def c17_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_shuffle_rank(
         split_df, "doc_id", seed=7, partition_by=["split"], portable=True
     )
-    return ranked.select("doc_id", "lang", "split", "shuffle_rank")
+    plain = ranked.select(
+        F.lit("plain").alias("branch"),
+        "doc_id",
+        "lang",
+        "split",
+        "shuffle_rank",
+        F.lit(None).cast("long").alias("split_key"),
+    )
+    planted = spark.createDataFrame(
+        _LEAK_PLANTED, "doc_id long, text string, lang string"
+    )
+    corpus = docs.select("doc_id", "text", "lang").unionByName(planted)
+    leak = leakage_safe_split(
+        corpus, "doc_id", "text", val_fraction=0.1, threshold=0.8
+    ).select(
+        F.lit("leakage").alias("branch"),
+        "doc_id",
+        "lang",
+        "split",
+        F.lit(None).cast("long").alias("shuffle_rank"),
+        F.col("split_key").cast("long"),
+    )
+    return plain.unionByName(leak)
 
 
 # FFD packing oracle: the operator is deterministic end to end — part =
