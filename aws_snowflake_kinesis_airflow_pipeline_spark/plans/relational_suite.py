@@ -694,9 +694,15 @@ def b9_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
       ORDER BY n DESC, token
       LIMIT 20
     )
+    UNION ALL
+    SELECT 'hh_topk', 'spacesaving_equals_exact', NULL, 1
     """,
     survey_ref="§2 B10 JSON path + keys over events.props ('json' branch) "
-    "and array explode token frequency ('topk_tokens' branch), tagged",
+    "and array explode token frequency ('topk_tokens' branch), tagged + "
+    "§2 B34 distributed heavy hitters ('hh_topk' branch: the SpaceSaving "
+    "candidate + exact-recount top-20 must EQUAL the exact top-20 the "
+    "'topk_tokens' branch computes in the same plan — the operator's "
+    "recovery contract as a driver-checked boolean)",
 )
 def b10_json_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON/array surface, tagged. 'json' branch: per-event path extraction
@@ -719,20 +725,42 @@ def b10_json_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.getItem("k").cast("long").alias("n"),
     )
     docs = _t(spark, sf_dir, "documents")
-    topk_branch = (
+    exact_topk = (
         docs.select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("token"))
         .limit(20)
-        .select(
-            F.lit("topk_tokens").alias("branch"),
-            F.col("token").alias("k"),
-            F.lit(None).cast("string").alias("s"),
-            "n",
-        )
     )
-    return json_branch.unionByName(topk_branch)
+    topk_branch = exact_topk.select(
+        F.lit("topk_tokens").alias("branch"),
+        F.col("token").alias("k"),
+        F.lit(None).cast("string").alias("s"),
+        "n",
+    )
+    # B34 heavy hitters: the SpaceSaving-candidate + exact-recount top-20
+    # must equal the exact top-20 above — both use the same deterministic
+    # (n desc, token asc) cut, and the operator's contract is that the
+    # candidate set never misses a true heavy hitter at this capacity.
+    # Compared in-plan as two sorted 20-row struct lists; the oracle pins
+    # the boolean TRUE. The 1x1 crossJoin is the documented scalar-combine
+    # precedent (operators/relational.py).
+    from ..operators.sketches import top_k_tokens
+
+    hh = top_k_tokens(docs, "text", k=20, capacity=4096)
+    exact_list = exact_topk.agg(
+        F.sort_array(F.collect_list(F.struct("token", "n"))).alias("_e")
+    )
+    hh_list = hh.agg(
+        F.sort_array(F.collect_list(F.struct("token", "n"))).alias("_h")
+    )
+    hh_branch = exact_list.crossJoin(hh_list).select(
+        F.lit("hh_topk").alias("branch"),
+        F.lit("spacesaving_equals_exact").alias("k"),
+        F.lit(None).cast("string").alias("s"),
+        (F.col("_e") == F.col("_h")).cast("long").alias("n"),
+    )
+    return json_branch.unionByName(topk_branch).unionByName(hh_branch)
 
 
 # B13 text statistics live in llm_suite (c8_text_features pack,
