@@ -49,22 +49,32 @@ def semantic_dedup_pairs(
     seed: int = 42,
     max_cluster_rows: int = 100_000,
     max_fit_rows: int = 100_000,
+    indexed: DataFrame | None = None,
 ) -> DataFrame:
     """Duplicate pairs (id1 < id2, cosine) found within k-means cells.
 
     Cosine is rounded to 4 dp (engine-wide float-parity convention).
     ``max_fit_rows`` bounds the centroid-fit sample exactly as in
     ``similarity.ivf_index`` (centroids converge far below the corpus).
+
+    ``indexed``: a pre-assigned frame (id_col, vec_col, ivf_cluster) from
+    an ``ivf_index`` the caller already built — e.g. a plan that ALSO
+    serves IVF probes from the same clustering pays one fit and one
+    assignment pass instead of two (the ``pairs=`` passthrough precedent
+    one level up). Must cover the same rows as ``df``; the clustering
+    granularity knobs (``n_clusters``/``seed``/``max_fit_rows``) are the
+    index's, not this call's.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError("semantic_dedup_pairs: threshold must be in (0, 1]")
-    _, indexed = ivf_index(
-        df.select(id_col, vec_col),
-        vec_col,
-        n_clusters,
-        seed=seed,
-        max_fit_rows=max_fit_rows,
-    )
+    if indexed is None:
+        _, indexed = ivf_index(
+            df.select(id_col, vec_col),
+            vec_col,
+            n_clusters,
+            seed=seed,
+            max_fit_rows=max_fit_rows,
+        )
 
     def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)

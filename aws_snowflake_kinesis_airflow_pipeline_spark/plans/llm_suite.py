@@ -530,35 +530,67 @@ def c15_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a planted exact duplicate (rank 1 for IVF, top-k admission for PQ
     — see the needle note above), and a recall floor vs the brute-force
     scan computed in the same plan (10-row frames joined, no driver-side
-    comparison)."""
-    base = _emb(spark, sf_dir).select("vec_id", "embedding")
+    comparison).
+
+    ONE k-means fit + ONE assignment pass serve both the ivf and semdedup
+    branches (round-9 consolidation): the index is built over base ∪
+    needle ∪ semdedup plants at the semdedup granularity (cells ≈
+    corpus/500), the ivf probe widens n_probe to keep the probed fraction
+    at the historical 3/8, and the plants join the query vector on the
+    exclude list so the ANN branches' result sets are plant-free. base is
+    cache()d — lineage-preserving, so cluster-safe under executor loss —
+    because every pass below (exact scan, fit sample, assignment, PQ
+    fit/encode, pair join-backs) otherwise re-reads the parquet."""
+    base = _emb(spark, sf_dir).select("vec_id", "embedding").cache()
     qvec = [
         float(x)
         for x in base.filter(F.col("vec_id") == _QUERY_VEC_ID).first()[
             "embedding"
         ]
     ]
+    # coalesce(1): a tiny local-data frame otherwise materializes with
+    # defaultParallelism partitions, and every union below drags those
+    # empty partitions through EVERY downstream stage (measured: the c15
+    # pack ran 96-task stages on 2 k rows; ~1/3 of its sf0.1 wall clock
+    # was scheduling empty tasks). repartition, NOT coalesce: coalescing a
+    # local relation plans one task that pulls all parent partitions from
+    # the driver serially (measured 3.5 s per action); the 1-row exchange
+    # is free.
     needle = spark.createDataFrame(
         [(_NEEDLE_ID, qvec)], "vec_id long, embedding array<float>"
-    )
+    ).repartition(1)
     emb = base.unionByName(needle)
-    exclude = [_QUERY_VEC_ID]
+    plants = spark.createDataFrame(
+        [
+            (pid, [1.0 if j == coord else 0.0 for j in range(64)])
+            for pid, coord in _SEM_PLANTS
+        ],
+        "vec_id long, embedding array<float>",
+    ).repartition(1)
+    all_in = emb.unionByName(plants)
+    # One bounded count: the SemDeDup cells-per-rows knob (paper's
+    # granularity rule) now also sizes the shared index.
+    n_clusters = max(16, all_in.count() // 500)
+    exclude = [_QUERY_VEC_ID] + [pid for pid, _ in _SEM_PLANTS]
     # PLAN-LAYER-ONLY ground truth: this O(corpus) brute-force scan exists
     # solely so the registered query can reduce to oracle-boundable recall
     # booleans. It must NEVER leak into the operator API — ivf_topk /
     # pq_topk stay O(probed cells) and never compute an exact scan
     # (pinned by test_operator_api_never_triggers_exact_scan).
     exact = similarity.brute_force_topk(
-        emb, "embedding", "vec_id", qvec, k=10, exclude_ids=exclude
+        all_in, "embedding", "vec_id", qvec, k=10, exclude_ids=exclude
     ).select(F.col("vec_id").alias("exact_id"))
-    # 20k-row fit samples: 8 IVF centroids / 16-code-per-4-dim PQ books
+    # 20k-row fit samples: the centroids / 16-code-per-4-dim PQ books
     # converge far below that, and the orderBy(hash).limit sample draw
     # ships max_fit_rows rows PER PARTITION to the driver merge — at sf10
     # the 100k default made the two fits 23 s of a 27 s query (A/B in
     # BASELINE.md round-5 notes).
     model, indexed = similarity.ivf_index(
-        emb, "embedding", n_clusters=8, max_fit_rows=20_000
+        all_in, "embedding", n_clusters=n_clusters, max_fit_rows=20_000
     )
+    # Probe the same fraction of the corpus the historical 3-of-8 setting
+    # scanned, independent of the shared index's cell count.
+    n_probe = max(3, round(n_clusters * 3 / 8))
     ivf = similarity.ivf_topk(
         model,
         indexed,
@@ -566,7 +598,7 @@ def c15_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         qvec,
         k=10,
-        n_probe=3,
+        n_probe=n_probe,
         exclude_ids=exclude,
     ).select(F.lit("ivf").alias("op"), "vec_id", F.col("cosine").alias("score"))
     pq_model = pq.pq_fit(
@@ -606,7 +638,7 @@ def c15_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ok"),
         )
     )
-    return ann.unionByName(_semdedup_branch(spark, base))
+    return ann.unionByName(_semdedup_branch(all_in, indexed))
 
 
 #: (vec_id, one-hot coordinate) plants for the semdedup branch. Negative
@@ -643,7 +675,7 @@ def _cos_expr(a, b):
     return dot / (F.sqrt(sq(a)) * F.sqrt(sq(b)))
 
 
-def _semdedup_branch(spark: SparkSession, base: DataFrame) -> DataFrame:
+def _semdedup_branch(sem_in: DataFrame, indexed: DataFrame) -> DataFrame:
     """B39 SemDeDup reduced to the c15 summary schema (op, n_results,
     needle_ok, recall_ok).
 
@@ -658,21 +690,15 @@ def _semdedup_branch(spark: SparkSession, base: DataFrame) -> DataFrame:
       threshold − 1.5e-4. Pair volume is near-dup-sized, so the two
       join-backs to the corpus are broadcast-small.
 
-    n_clusters scales as corpus/500 so per-cell pairwise work stays
-    bounded at any SF (the SemDeDup paper's knob); the planted checks are
-    clustering-independent, so the scaling cannot perturb the oracle row.
+    ``sem_in``/``indexed`` come from the pack's SHARED ivf_index (one fit,
+    one assignment, cells ≈ corpus/500 — the SemDeDup paper's knob); the
+    planted checks are clustering-independent, so sharing cannot perturb
+    the oracle row. sem_in now also carries the ANN needle (an exact clone
+    of the query vector) — it simply contributes one more rechecked pair
+    and is not a planted id, so neither boolean can see it.
     """
     from ..operators import semdedup
 
-    plants = spark.createDataFrame(
-        [
-            (pid, [1.0 if j == coord else 0.0 for j in range(64)])
-            for pid, coord in _SEM_PLANTS
-        ],
-        "vec_id long, embedding array<float>",
-    )
-    sem_in = base.unionByName(plants)
-    n_clusters = max(16, sem_in.count() // 500)
     # Pairs feed both the survivor derivation and the precision recheck;
     # tens of rows — checkpoint so the per-cell kernel pass runs once,
     # lazily: connected_components' own build-time actions materialize it
@@ -681,9 +707,8 @@ def _semdedup_branch(spark: SparkSession, base: DataFrame) -> DataFrame:
         sem_in,
         "vec_id",
         "embedding",
-        n_clusters=n_clusters,
         threshold=_SEM_THRESHOLD,
-        max_fit_rows=20_000,
+        indexed=indexed,
     ).localCheckpoint(eager=False)
     survivors = semdedup.semantic_dedup(
         sem_in, "vec_id", "embedding", pairs=pairs
@@ -1087,7 +1112,7 @@ def c17_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     planted = spark.createDataFrame(
         _LEAK_PLANTED, "doc_id long, text string, lang string"
-    )
+    ).repartition(1)  # tiny local frame: see the c15 needle note
     corpus = docs.select("doc_id", "text", "lang").unionByName(planted)
     leak = leakage_safe_split(
         corpus, "doc_id", "text", val_fraction=0.1, threshold=0.8
@@ -1355,7 +1380,7 @@ def c13_media_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     planted = spark.createDataFrame(
         _ppm_planted_rows(), "media_id long, content binary"
-    )
+    ).repartition(1)  # tiny local frame: see the c15 needle note
     stats = multimodal.extract_pixel_stats(planted)
     pixel_branch = planted.join(stats, "media_id").select(
         F.lit("pixel").alias("branch"),
@@ -1490,7 +1515,9 @@ def c21_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     One narrow projection — no shuffle at all."""
     from ..functions import pii
 
-    planted = spark.createDataFrame(_PII_PLANTED, "doc_id long, text string")
+    planted = spark.createDataFrame(
+        _PII_PLANTED, "doc_id long, text string"
+    ).repartition(1)  # tiny local frame: see the c15 needle note
     base = (
         _docs(spark, sf_dir).select("doc_id", "text").unionByName(planted)
     )
@@ -2090,7 +2117,7 @@ def c26_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     line_planted = spark.createDataFrame(
         _LINEDUP_PLANTED, "doc_id long, text string"
-    )
+    ).repartition(1)  # tiny local frame: see the c15 needle note
     line = drop_duplicate_lines(
         docs.unionByName(line_planted),
         "doc_id",
@@ -2107,7 +2134,7 @@ def c26_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     span_planted = spark.createDataFrame(
         _SPANDUP_PLANTED, "doc_id long, text string"
-    )
+    ).repartition(1)  # tiny local frame: see the c15 needle note
     span = remove_duplicate_spans(
         docs.unionByName(span_planted),
         "doc_id",

@@ -606,3 +606,177 @@ def test_span_dedup_matches_duckdb_on_random_corpus(spark):
     # hot run was EXCLUDED (its carrier docs keep every token)
     assert sum(g[3] for g in got.values()) >= 10
     assert all(got[i][2] == 0 for i in range(4, 80, 8))
+
+
+def test_cohort_retention_matches_duckdb_on_random_events(spark):
+    """B44: cohort_retention(week) == the s1 'retention' branch DuckDB
+    formulation on random events — users whose first event lands near
+    week boundaries, single-event users, users active in many weeks."""
+    import datetime as dt
+
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.retention import (
+        cohort_retention,
+    )
+
+    rng = random.Random(17)
+    t0 = dt.datetime(2024, 1, 1)  # a Monday: week-trunc boundary itself
+    rows = []
+    for u in range(60):
+        for _ in range(rng.randint(1, 12)):
+            rows.append(
+                (u, t0 + dt.timedelta(minutes=rng.randint(0, 60 * 24 * 70)))
+            )
+    sdf = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+    # keys on .date(): DuckDB's DATE_TRUNC('week', ts) returns DATE while
+    # the operator keeps TIMESTAMP (in the s1 oracle the union with the
+    # other branches' TIMESTAMP window_start coerces it back)
+    got = {
+        (r.cohort.date(), r.period_offset): r.n_users
+        for r in cohort_retention(sdf, period="week").collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    con = duckdb.connect()
+    con.register("ev", pdf)
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            """
+            SELECT cohort, period_offset, COUNT(DISTINCT user_id) FROM (
+              SELECT e.user_id, f.cohort,
+                     CAST(DATE_DIFF('day', f.cohort, DATE_TRUNC('week', e.ts)) // 7
+                          AS INT) AS period_offset
+              FROM ev e
+              JOIN (SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort
+                    FROM ev GROUP BY 1) f USING (user_id)
+            ) GROUP BY 1, 2
+            """
+        ).fetchall()
+    }
+    assert got == want
+    # non-vacuous: several cohorts, offsets beyond 0, and offset-0 rows
+    # equal each cohort's size
+    assert len({c for c, _ in got}) >= 3
+    assert any(k > 0 for _, k in got)
+
+
+def test_event_transitions_matches_duckdb_on_random_events(spark):
+    """B45: event_transitions == the s1 'transition' branch DuckDB lead
+    window on random events with same-timestamp ties and NULL tiebreak
+    ids — exercising the asc_nulls_last pin against DuckDB's ANSI NULLS
+    LAST default."""
+    import datetime as dt
+
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.transitions import (
+        event_transitions,
+    )
+
+    rng = random.Random(23)
+    t0 = dt.datetime(2024, 6, 1)
+    rows, eid = [], 0
+    for u in range(50):
+        for _ in range(rng.randint(1, 10)):
+            # coarse minute grid -> plenty of exact ts ties per user
+            ts = t0 + dt.timedelta(minutes=rng.randint(0, 30))
+            the_id = None if rng.random() < 0.15 else eid
+            rows.append(
+                (the_id, u, ts, rng.choice(["view", "click", "buy", "err"]))
+            )
+            eid += 1
+    sdf = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+    got = {
+        (r.from_type, r.to_type): r.n for r in event_transitions(sdf).collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "event_type"])
+    con = duckdb.connect()
+    con.register("ev", pdf)
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            """
+            SELECT from_type, to_type, COUNT(*) FROM (
+              SELECT event_type AS from_type,
+                     LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS to_type
+              FROM ev
+            ) WHERE to_type IS NOT NULL GROUP BY 1, 2
+            """
+        ).fetchall()
+    }
+    assert got == want and sum(got.values()) > 100
+
+
+def test_token_encoding_matches_duckdb_on_random_strings(spark):
+    """B42: build_vocab + encode_documents == the c22 'encode' branch
+    DuckDB replay on random hostile strings (whitespace runs, \\x0b,
+    unicode, empty docs) — vocab rank ties, OOV counts, and the id
+    sequences themselves (md5 of the space-joined ids)."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.encoding import (
+        build_vocab,
+        encode_documents,
+    )
+
+    docs = _random_docs(250, seed=43)
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    sdf = spark.createDataFrame(pdf)
+    vocab = build_vocab(sdf, vocab_size=32)
+    enc = encode_documents(sdf, vocab)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, " ".join(str(i) for i in r.token_ids))
+        for r in enc.collect()
+    }
+
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            """
+            WITH ltoks AS (
+              SELECT doc_id,
+                     LIST_FILTER(STRING_SPLIT_REGEX(LOWER(COALESCE(text, '')), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM docs
+            ),
+            vocab AS (
+              SELECT token,
+                     CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INT)
+                       AS token_id
+              FROM (
+                SELECT token, COUNT(*) AS cnt
+                FROM (SELECT UNNEST(t) AS token FROM ltoks)
+                GROUP BY 1 ORDER BY cnt DESC, token LIMIT 32
+              )
+            ),
+            pos AS (
+              SELECT doc_id, UNNEST(t) AS token,
+                     UNNEST(range(1, LEN(t) + 1)) AS pos
+              FROM ltoks
+            ),
+            enc AS (
+              SELECT p.doc_id, p.pos, COALESCE(v.token_id, 0) AS tid
+              FROM pos p LEFT JOIN vocab v USING (token)
+            ),
+            agg AS (
+              SELECT doc_id, LIST(tid ORDER BY pos) AS ids,
+                     COUNT(*) AS n_tokens,
+                     SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS n_oov
+              FROM enc GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_tokens, 0) AS INT),
+                   CAST(COALESCE(a.n_oov, 0) AS INT),
+                   COALESCE(ARRAY_TO_STRING(a.ids, ' '), '')
+            FROM docs d LEFT JOIN agg a USING (doc_id)
+            """
+        ).fetchall()
+    }
+    assert got == want
+    # non-vacuous: OOV present, in-vocab ids present, empty docs present
+    assert any(v[1] > 0 for v in got.values())
+    assert any("1" in v[2].split() for v in got.values())
+    assert any(v[0] == 0 for v in got.values())
