@@ -537,11 +537,16 @@ def c15_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     needle ∪ semdedup plants at the semdedup granularity (cells ≈
     corpus/500), the ivf probe widens n_probe to keep the probed fraction
     at the historical 3/8, and the plants join the query vector on the
-    exclude list so the ANN branches' result sets are plant-free. base is
-    cache()d — lineage-preserving, so cluster-safe under executor loss —
-    because every pass below (exact scan, fit sample, assignment, PQ
-    fit/encode, pair join-backs) otherwise re-reads the parquet."""
-    base = _emb(spark, sf_dir).select("vec_id", "embedding").cache()
+    exclude list so the ANN branches' result sets are plant-free. The
+    assigned corpus is pinned with one eager localCheckpoint: every pass
+    below (exact scan, ivf probe, per-cell semdedup, PQ fit/encode, pair
+    join-backs) reads the materialized (id, vector, cell) blocks, so the
+    parquet is scanned once and the assignment UDF runs once instead of
+    once per consumer (three Python passes measured in the final action
+    before the pin). localCheckpoint caveat (operators/lm.py note): non-
+    replicated, lineage-truncated — on clusters with preemption, swap for
+    reliable checkpoint()/replicated persist."""
+    base = _emb(spark, sf_dir).select("vec_id", "embedding")
     qvec = [
         float(x)
         for x in base.filter(F.col("vec_id") == _QUERY_VEC_ID).first()[
@@ -567,11 +572,24 @@ def c15_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "vec_id long, embedding array<float>",
     ).repartition(1)
-    all_in = emb.unionByName(plants)
+    # Materialized once (see docstring); the count that sizes the cells
+    # reads the checkpointed blocks for free.
+    all_in = emb.unionByName(plants).localCheckpoint(eager=True)
     # One bounded count: the SemDeDup cells-per-rows knob (paper's
     # granularity rule) now also sizes the shared index.
     n_clusters = max(16, all_in.count() // 500)
     exclude = [_QUERY_VEC_ID] + [pid for pid, _ in _SEM_PLANTS]
+    # 20k-row fit samples: the centroids / 16-code-per-4-dim PQ books
+    # converge far below that, and the orderBy(hash).limit sample draw
+    # ships max_fit_rows rows PER PARTITION to the driver merge — at sf10
+    # the 100k default made the two fits 23 s of a 27 s query (A/B in
+    # BASELINE.md round-5 notes).
+    model, indexed0 = similarity.ivf_index(
+        all_in, "embedding", n_clusters=n_clusters, max_fit_rows=20_000
+    )
+    # One assignment pass total: ivf probe and the semdedup per-cell
+    # exchange both read these blocks.
+    indexed = indexed0.localCheckpoint(eager=True)
     # PLAN-LAYER-ONLY ground truth: this O(corpus) brute-force scan exists
     # solely so the registered query can reduce to oracle-boundable recall
     # booleans. It must NEVER leak into the operator API — ivf_topk /
@@ -580,14 +598,6 @@ def c15_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.brute_force_topk(
         all_in, "embedding", "vec_id", qvec, k=10, exclude_ids=exclude
     ).select(F.col("vec_id").alias("exact_id"))
-    # 20k-row fit samples: the centroids / 16-code-per-4-dim PQ books
-    # converge far below that, and the orderBy(hash).limit sample draw
-    # ships max_fit_rows rows PER PARTITION to the driver merge — at sf10
-    # the 100k default made the two fits 23 s of a 27 s query (A/B in
-    # BASELINE.md round-5 notes).
-    model, indexed = similarity.ivf_index(
-        all_in, "embedding", n_clusters=n_clusters, max_fit_rows=20_000
-    )
     # Probe the same fraction of the corpus the historical 3-of-8 setting
     # scanned, independent of the shared index's cell count.
     n_probe = max(3, round(n_clusters * 3 / 8))
@@ -601,10 +611,16 @@ def c15_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=n_probe,
         exclude_ids=exclude,
     ).select(F.lit("ivf").alias("op"), "vec_id", F.col("cosine").alias("score"))
+    # PQ reads the same checkpointed blocks, minus the plants — its input
+    # (base ∪ needle) and therefore its codebooks are unchanged by the
+    # shared-index consolidation.
+    emb_ck = all_in.filter(
+        ~F.col("vec_id").isin([pid for pid, _ in _SEM_PLANTS])
+    ).select("vec_id", "embedding")
     pq_model = pq.pq_fit(
-        emb, "embedding", m=16, n_codes=16, dim=64, max_fit_rows=20_000
+        emb_ck, "embedding", m=16, n_codes=16, dim=64, max_fit_rows=20_000
     )
-    encoded = pq.pq_encode(emb, "embedding", pq_model)
+    encoded = pq.pq_encode(emb_ck, "embedding", pq_model)
     quant = pq.pq_topk(
         pq_model,
         encoded,
