@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import adaptive_shingles, tokens, word_shingles
+from .spread import scaled_repartition as _scaled_repartition
 from .spread import spread as _spread
 
 
@@ -72,8 +73,14 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
         F.lit(":"),
         F.xxhash64(F.lit(1), *keys).cast("string"),
     )
+    # Auto-size the fingerprint exchange to the input (spread.py): the
+    # groups carry full row bodies (min_by over every column), so final-
+    # aggregation state is corpus-bytes / n_partitions — at 1000x the
+    # bench SF the session default OOMs. The lost map-side combine only
+    # mattered for duplicate-heavy corpora, where the final agg is small
+    # anyway.
     return (
-        df.withColumn("_key_fp", fp)
+        _scaled_repartition(df.withColumn("_key_fp", fp), "_key_fp")
         .groupBy("_key_fp")
         .agg(
             F.min(id_col).alias(id_col),
@@ -525,8 +532,16 @@ def ngram_jaccard_pairs(
                     F.size("hs").alias("n_sh"),
                     F.explode("hs").alias("shingle"),
                 )
+                # Both corpus-volume exchanges here auto-size to the
+                # input (spread.py, the 5 M-doc lesson): the shingle
+                # index is docs x ~shingles rows, and the pair-count
+                # exchange below is candidate-volume (linear but ~25x
+                # the corpus row count on the bench fixture's dense
+                # vocabulary). source=df — sh_sized's lineage is the
+                # truncated per_doc checkpoint.
                 postings = (
-                    sh_sized.groupBy("shingle")
+                    _scaled_repartition(sh_sized, "shingle", source=df)
+                    .groupBy("shingle")
                     .agg(
                         F.sort_array(
                             F.collect_list(F.struct("n_sh", "id"))
@@ -539,15 +554,18 @@ def ngram_jaccard_pairs(
                 pairs = _sized_posting_pairs(postings, threshold)
             else:
                 postings = (
-                    sh.groupBy("shingle")
+                    _scaled_repartition(sh, "shingle", source=df)
+                    .groupBy("shingle")
                     .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
                     .filter(
                         (F.size("ids") >= 2) & (F.size("ids") <= max_doc_freq)
                     )
                 )
                 pairs = _posting_pairs(postings)
-            inter = pairs.groupBy("id1", "id2").agg(
-                F.count("*").alias("n_inter")
+            inter = (
+                _scaled_repartition(pairs, "id1", "id2", source=df)
+                .groupBy("id1", "id2")
+                .agg(F.count("*").alias("n_inter"))
             )
             return _jaccard_from_inter(inter, sizes, id_col, threshold)
         if max_doc_freq is not None:
@@ -909,8 +927,15 @@ def minhash_lsh_pairs(
     # near-dups together) and mega-buckets only arise from mass-exact
     # duplication — run exact_dedup first (as near_dup_dedup's docs
     # say) and they cannot exist.
+    # Auto-size the banding exchange to the corpus (spread.py): the bucket
+    # triple is docs x bands rows and the session-default final-agg
+    # partition count is what OOM'd the 5 M-doc decade at round-8's hand-
+    # set sizing. source=df because the checkpoint truncated buckets'
+    # file lineage. The explicit hash exchange satisfies the groupBy's
+    # clustering requirement — still exactly ONE exchange in the plan.
     postings = (
-        buckets.groupBy("band_id", "band_hash")
+        _scaled_repartition(buckets, "band_id", "band_hash", source=df)
+        .groupBy("band_id", "band_hash")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
@@ -1113,8 +1138,12 @@ def simhash_near_dup_pairs(
     entry = F.struct(
         F.col(id_col).alias("id"), *[F.col(c) for c in sig_cols]
     )
+    # Auto-size the chunk exchange to the corpus (spread.py): docs x
+    # n_chunks rows each hauling the signature words; source=df because
+    # the checkpoint truncated chunks' file lineage.
     postings = (
-        chunks.groupBy("chunk_id", "chunk_val")
+        _scaled_repartition(chunks, "chunk_id", "chunk_val", source=df)
+        .groupBy("chunk_id", "chunk_val")
         .agg(F.sort_array(F.collect_list(entry)).alias("es"))
         .filter(F.size("es") >= 2)
     )

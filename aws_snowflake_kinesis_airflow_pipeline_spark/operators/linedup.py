@@ -34,6 +34,8 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .spread import scaled_repartition as _scaled_repartition
+
 
 def drop_duplicate_lines(
     df: DataFrame,
@@ -81,8 +83,14 @@ def drop_duplicate_lines(
             )
         ).alias("pos", "line"),
     )
+    # Auto-size the two corpus-text-volume exchanges (the per-doc distinct
+    # and the reassembly below) to the input — spread.scaled_repartition
+    # is a no-op at bench SFs and sizes the final-aggregation partition
+    # count to the data at 100x+ (the 5 M-doc decade's lesson). The
+    # distinct's exchange keys are exactly its columns, so the explicit
+    # hash exchange satisfies its clustering requirement (one exchange).
     hot = (
-        lines.select(id_col, "line")
+        _scaled_repartition(lines.select(id_col, "line"), id_col, "line", source=df)
         .distinct()
         .groupBy("line")
         .agg(F.count("*").alias("line_df"))
@@ -95,7 +103,7 @@ def drop_duplicate_lines(
         kept = salted_left_anti_join(lines, hot, "line", hot_join_salts)
     else:
         kept = lines.join(hot, "line", "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
+    rebuilt = _scaled_repartition(kept, id_col, source=df).groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "line"))),

@@ -78,6 +78,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from .spread import scaled_repartition as _scaled_repartition
 
 #: Rolling-hash base: odd (invertible mod 2^64), large, fixed — part of
 #: the fingerprint definition, shared by the Python replay in tests.
@@ -229,8 +230,15 @@ def duplicate_spans(
     fp = window_fingerprints(docs, id_col, text_col, window, finalize)
     # ONE corpus-volume exchange: df count + canonical arg-min in the same
     # grouped pass; only duplicated runs (boilerplate-volume) survive.
+    # Auto-size the whash exchange to the corpus (spread.py): its final-
+    # aggregation hash map holds one (count, arg-min) entry per DISTINCT
+    # window in the corpus — ~tokens-per-doc x docs entries — and the
+    # session-default partition count is a fixed 32 on the local box.
+    # The lost map-side combine only reduced duplicated runs, the
+    # minority by definition.
     dup = (
-        fp.groupBy("whash")
+        _scaled_repartition(fp, "whash", source=docs)
+        .groupBy("whash")
         .agg(
             F.count("*").alias("_df"),
             F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_canon"),
@@ -249,7 +257,8 @@ def duplicate_spans(
     )
     w = window
     merged = (
-        removed.groupBy(id_col)
+        _scaled_repartition(removed, id_col, source=docs)
+        .groupBy(id_col)
         .agg(F.array_sort(F.collect_list("pos")).alias("_ps"))
         .select(
             F.col(id_col),

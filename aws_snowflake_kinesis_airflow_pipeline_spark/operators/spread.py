@@ -59,6 +59,83 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(target, *cols)
 
 
+#: Compressed input bytes per shuffle partition for data-volume exchanges.
+#: Calibrated on the 5 M-document dedup decade (651 MB parquet,
+#: BASELINE.md round-8/9 tables): 32 partitions (the local session default)
+#: OOMs the banding/shingle aggregations, 128 clears them but spills
+#: (c2 306 s), 256 = ~2.5 MiB input/partition runs clean (c2 175 s). The
+#: budget is compressed-parquet bytes because that is the only number
+#: available from pure metadata; the ~50-100x in-memory expansion of a
+#: text corpus through shingling/banding is what it implicitly prices.
+_EXCHANGE_INPUT_BUDGET = 5 * 2**19  # 2.5 MiB
+
+
+def exchange_partitions(
+    source: DataFrame, bytes_per_partition: int | None = None
+) -> int | None:
+    """Partition count for a corpus-volume exchange, derived from the
+    source scan's file bytes — or None when the session default already
+    suffices.
+
+    This is the round-8 5 M-doc lesson made automatic: shuffle-partition
+    count must track data volume, and on a single box nothing re-sizes an
+    aggregation exchange upward (AQE only coalesces DOWN and only splits
+    skewed JOIN partitions), so an input 1000x the bench SF lands on the
+    same 32 final-aggregation partitions and OOMs. Pure metadata (same
+    discipline as :func:`spread`): file sizes only, no RDD instantiation,
+    and remote/file-less inputs return None — on a real cluster the
+    operator-level default (thousands of shuffle partitions + AQE
+    coalescing) is the right mechanism, and this guard must not fight it.
+    """
+    if bytes_per_partition is None:
+        # Resolved at call time so tests can monkeypatch the module
+        # constant to force the guard at tiny fixtures.
+        bytes_per_partition = _EXCHANGE_INPUT_BUDGET
+    spark = source.sparkSession
+    session_parts = int(
+        spark.conf.get(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+    )
+    files = source.inputFiles()
+    if not files:
+        return None
+    sizes = [_local_file_size(uri) for uri in files]
+    if any(s is None for s in sizes):
+        return None
+    n = math.ceil(sum(sizes) / max(bytes_per_partition, 1))
+    return n if n > session_parts else None
+
+
+def scaled_repartition(
+    df: DataFrame,
+    *cols: str,
+    source: DataFrame | None = None,
+    bytes_per_partition: int | None = None,
+) -> DataFrame:
+    """Repartition ``df`` on its upcoming exchange keys with a partition
+    count scaled to ``source``'s input bytes (default: ``df`` itself —
+    pass the pre-checkpoint frame when ``df``'s lineage is truncated).
+
+    No-op when :func:`exchange_partitions` says the session default is
+    fine, so bench-SF plans are byte-identical. When it fires, the
+    explicit hash exchange SATISFIES the downstream groupBy's clustering
+    requirement (verified in tests: one exchange in the plan, not two),
+    so the aggregation's final hash maps are built over ``n`` right-sized
+    partitions instead of the session's fixed count. The trade — losing
+    map-side partial aggregation below the exchange — is free for the
+    collect_list/pair-emission exchanges this guards (partials don't
+    reduce list bytes, and grouped-emission pairs are ~1.1x duplicated at
+    most)."""
+    n = exchange_partitions(
+        source if source is not None else df, bytes_per_partition
+    )
+    if n is None:
+        return df
+    return df.repartition(n, *cols)
+
+
 def _bytes_conf(value: str) -> int:
     """Parse a Spark byte-size conf string ("134217728", "128MB", "4m")."""
     v = value.strip().lower().removesuffix("b")

@@ -11,7 +11,7 @@ contract (key = partition key = user_id, value = JSON event — reference
 scripts/kinesis_data_producer.py:39-46) is exactly
 ``rate_events.keyed_for_stream_sink``'s output, tested there.
 
-Vendoring attempt (round 6; re-attempted rounds 7 and 8, same result):
+Vendoring attempt (round 6; re-attempted rounds 7, 8 and 9, same result):
 the container has no network (DNS resolution fails for both Maven Central
 and the pip index) and ships no kafka/delta jars anywhere on disk (full
 filesystem sweep), so the connector cannot be added here. What IS tested offline: the producer→consumer data plane

@@ -273,6 +273,9 @@ def test_no_scale_killers_across_entire_registry(spark, sf_dir):
             # semdedup branch: 1-row x 1-row crossJoin combining the
             # planted-survivor scalar with the pair-recheck scalar
             "c15_cosine_topk_ivf",
+            # hh_topk branch: 1-row x 1-row crossJoin comparing the exact
+            # top-20 list scalar with the SpaceSaving top-20 list scalar
+            "b10_json_array_pack",
         ):
             bad.append("BroadcastNestedLoopJoin")
         if bad:

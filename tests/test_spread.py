@@ -8,8 +8,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from aws_snowflake_kinesis_airflow_pipeline_spark.catalog import load_table
+from aws_snowflake_kinesis_airflow_pipeline_spark.operators import spread as spread_mod
 from aws_snowflake_kinesis_airflow_pipeline_spark.operators.spread import (
     _bytes_conf,
+    exchange_partitions,
+    scaled_repartition,
     spread,
 )
 
@@ -96,3 +99,90 @@ def test_no_inferred_generate_filter_below_exchange(spark, sf_dir):
     assert "Filter (size(" not in plan.replace("Filter ((size(", "Filter (size(")
     excluded = spark.conf.get("spark.sql.optimizer.excludedRules", "")
     assert "InferFiltersFromGenerate" in excluded
+
+
+# ---------------------------------------------------------------------------
+# exchange_partitions / scaled_repartition: data-volume exchange auto-sizing
+# ---------------------------------------------------------------------------
+
+
+def _input_bytes(df):
+    import os
+
+    return sum(
+        os.path.getsize(u.removeprefix("file://")) for u in df.inputFiles()
+    )
+
+
+def test_exchange_partitions_default_is_none_at_bench_sf(spark, sf_dir):
+    """At bench SFs the session default suffices — the guard must be a
+    no-op so registered plans stay byte-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    assert exchange_partitions(docs) is None
+    out = scaled_repartition(docs.select("doc_id", "text"), "doc_id")
+    # identity, not just equality: no plan node may be added
+    assert "RepartitionByExpression" not in out._jdf.queryExecution().logical().toString()
+
+
+def test_exchange_partitions_scales_with_input_bytes(spark, sf_dir):
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = _input_bytes(docs)
+    n = exchange_partitions(docs, bytes_per_partition=64)
+    assert n == math.ceil(total / 64)
+    assert n > int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+
+def test_exchange_partitions_none_without_file_lineage(spark):
+    """In-memory inputs have no file metadata — trust the session default
+    (on a real cluster that is thousands of partitions + AQE coalescing)."""
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    assert exchange_partitions(df, bytes_per_partition=1) is None
+
+
+def test_scaled_repartition_satisfies_downstream_groupby(spark, sf_dir):
+    """The explicit scaled exchange must SATISFY the downstream groupBy's
+    clustering requirement: exactly ONE Exchange in the physical plan
+    (hashpartitioning on the group keys at the scaled count), never a
+    second exchange stacked on top — otherwise the guard would double
+    every corpus-volume shuffle it is meant to protect."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = exchange_partitions(docs, bytes_per_partition=64)
+    out = (
+        scaled_repartition(docs, "doc_id", bytes_per_partition=64)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("+- Exchange") + plan.count(":- Exchange") == 1
+    assert f"hashpartitioning(doc_id#" in plan
+    assert f", {n})" in plan, f"scaled count {n} not in plan:\n{plan}"
+
+
+def test_scaled_exchanges_preserve_dedup_results(spark, sf_dir, monkeypatch):
+    """Forcing the guard ON at a tiny fixture (budget = 64 bytes -> the
+    exchanges fire with ~100+ partitions) must not change any dedup-family
+    result — partition count is physical, the row sets are the contract."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators import dedup, linedup, spandup
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
+
+    def snapshot():
+        mh = dedup.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+        jc = dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.8, max_doc_freq=64
+        ).collect()
+        sx = dedup.exact_dedup(docs, ["text"], "doc_id").collect()
+        ln = linedup.drop_duplicate_lines(docs, "doc_id", "text").collect()
+        sp = spandup.duplicate_spans(docs, window=8, max_df=16).collect()
+        key = lambda r: tuple(str(v) for v in r)
+        return [sorted(rows, key=key) for rows in (mh, jc, sx, ln, sp)]
+
+    base = snapshot()
+    monkeypatch.setattr(spread_mod, "_EXCHANGE_INPUT_BUDGET", 64)
+    assert exchange_partitions(docs) is not None  # the guard is live now
+    assert snapshot() == base
