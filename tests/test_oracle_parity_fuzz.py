@@ -780,3 +780,157 @@ def test_token_encoding_matches_duckdb_on_random_strings(spark):
     assert any(v[1] > 0 for v in got.values())
     assert any("1" in v[2].split() for v in got.values())
     assert any(v[0] == 0 for v in got.values())
+
+
+def test_corpus_diff_matches_duckdb_on_random_snapshots(spark):
+    """B41 corpus diff off-fixture: random old/new snapshot pairs with
+    whitespace-only churn (must classify 'unchanged' — the normalized
+    fingerprint is the contract), real edits, NULL texts, adds and
+    removes, replayed against the same full-outer-join SQL the c1 'diff'
+    branch oracle uses."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.diffing import corpus_diff
+
+    rng = random.Random(23)
+    old_rows, new_rows = [], []
+    for i in range(400):
+        text = " ".join(
+            rng.choice(["the", "cat", "sat", "mat", "dog", "ran"])
+            for _ in range(rng.randint(0, 8))
+        ) + rng.choice(["", " x\x0by", " 中文", "!!"])
+        if rng.random() < 0.05:
+            text = None
+        kind = rng.random()
+        if kind < 0.15:  # removed
+            old_rows.append((i, text))
+        elif kind < 0.30:  # added
+            new_rows.append((i, text))
+        elif kind < 0.45:  # whitespace churn only -> unchanged
+            old_rows.append((i, text))
+            new_rows.append(
+                (i, None if text is None else f"  {text.replace(' ', '   ')}\t")
+            )
+        elif kind < 0.60:  # changed (NULL flips count as changed too)
+            old_rows.append((i, text))
+            new_rows.append((i, "edited " + (text or "")))
+        else:  # unchanged verbatim
+            old_rows.append((i, text))
+            new_rows.append((i, text))
+    old_pdf = pd.DataFrame(old_rows, columns=["doc_id", "text"])
+    new_pdf = pd.DataFrame(new_rows, columns=["doc_id", "text"])
+
+    got = (
+        corpus_diff(
+            spark.createDataFrame(old_pdf.astype({"doc_id": "int64"})),
+            spark.createDataFrame(new_pdf.astype({"doc_id": "int64"})),
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    fp = (
+        "md5(TRIM(REGEXP_REPLACE(LOWER(COALESCE(text, CHR(0) || 'null' || CHR(0))), "
+        "'\\s+', ' ', 'g')))"
+    )
+    con = duckdb.connect()
+    con.register("old_snap", old_pdf)
+    con.register("new_snap", new_pdf)
+    want = con.execute(
+        f"""
+        WITH fpo AS (SELECT doc_id, {fp} AS f FROM old_snap),
+             fpn AS (SELECT doc_id, {fp} AS f FROM new_snap)
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.f IS NULL THEN 'added'
+                    WHEN n.f IS NULL THEN 'removed'
+                    WHEN o.f <> n.f THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM fpo o FULL OUTER JOIN fpn n ON o.doc_id = n.doc_id
+        ORDER BY doc_id
+        """
+    ).df().set_index("doc_id").sort_index()
+
+    assert (got["status"] == want["status"]).all(), (
+        got["status"].compare(want["status"]).head()
+    )
+    # sanity: the generator produced every class
+    assert set(got["status"].unique()) == {"added", "removed", "changed", "unchanged"}
+
+
+def test_leakage_split_matches_duckdb_on_random_clone_groups(spark):
+    """B46 leakage-safe split off-fixture: a random corpus of vocabulary-
+    disjoint documents plus randomized exact-clone groups (recall is
+    structural — identical signatures) must draw the SAME (split_key,
+    split) per document as the c17 'leakage' oracle's recursive-CTE
+    replay, and no clone group may straddle splits."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.leakage import (
+        leakage_safe_split,
+    )
+    from aws_snowflake_kinesis_airflow_pipeline_spark.plans.llm_suite import (
+        exact_jaccard_pairs_ctes,
+    )
+
+    rng = random.Random(31)
+    rows = []
+    next_id = 0
+    # Per-doc invented vocabulary -> cross-doc jaccard is structurally 0;
+    # only the planted clone groups form components.
+    for _ in range(120):
+        base_id = next_id
+        text = " ".join(f"w{base_id}x{j}" for j in range(rng.randint(3, 9)))
+        rows.append((base_id, text))
+        next_id += 1
+        for _ in range(rng.choice([0, 0, 0, 1, 1, 2, 3])):
+            rows.append((next_id, text))
+            next_id += 1
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    got = (
+        leakage_safe_split(
+            spark.createDataFrame(pdf.astype({"doc_id": "int64"})),
+            val_fraction=0.1,
+        )
+        .select("doc_id", "split_key", "split")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    con = duckdb.connect()
+    con.register("corpus", pdf)
+    want = con.execute(
+        f"""
+        WITH RECURSIVE {exact_jaccard_pairs_ctes("SELECT doc_id, text FROM corpus")},
+        edges AS (
+          SELECT id1 AS a, id2 AS b FROM jpairs
+          UNION
+          SELECT id2 AS a, id1 AS b FROM jpairs
+        ),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        comp AS (
+          SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+        )
+        SELECT c.doc_id,
+               COALESCE(p.component, c.doc_id) AS split_key,
+               CASE WHEN CAST(CONCAT('0x',
+                        SUBSTR(md5(CAST(COALESCE(p.component, c.doc_id) AS VARCHAR)), 1, 8))
+                      AS UBIGINT) % 1000 < 100
+                    THEN 'val' ELSE 'train' END AS split
+        FROM corpus c LEFT JOIN comp p USING (doc_id)
+        ORDER BY c.doc_id
+        """
+    ).df().set_index("doc_id").sort_index()
+
+    assert (got["split_key"] == want["split_key"]).all(), (
+        got["split_key"].compare(want["split_key"]).head()
+    )
+    assert (got["split"] == want["split"]).all()
+    # no-straddle, asserted directly on the Spark output
+    n_splits_per_key = got.groupby("split_key")["split"].nunique()
+    assert (n_splits_per_key == 1).all()
+    # sanity: the generator produced real multi-doc groups and both splits
+    assert (got.groupby("split_key").size() > 1).any()
+    assert set(got["split"].unique()) == {"train", "val"}

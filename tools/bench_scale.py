@@ -1,0 +1,95 @@
+"""Dedup-family wall-clock at a derived documents-only scale dir.
+
+The scale decades (tools/make_sf1.py) exist to answer one question per
+operator: does per-row cost hold as the corpus grows 10x? This harness
+makes those sittings reproducible instead of ad-hoc: each op runs the
+REGISTERED configuration (the same operator call + parameters the driver
+checks at bench SFs), best-of-N with a count() noop sink, on the DEFAULT
+session config — no hand-set shuffle partitions; the spread.py
+exchange-autosizing guard is itself part of what is being measured.
+
+Heap note: 5 M documents on one 32-thread JVM needs
+SPARK_GRAFT_DRIVER_MEM=64g (memory is the cluster resource the single
+box must emulate); partitioning is NOT a knob here by design.
+
+Usage: python tools/bench_scale.py <dir> [op ...] [--reps N]
+       ops: c1 c2 c3 c4 c8 c16 line span   (default: c2 c16 span)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from aws_snowflake_kinesis_airflow_pipeline_spark.session import get_spark  # noqa: E402
+from aws_snowflake_kinesis_airflow_pipeline_spark.operators import dedup  # noqa: E402
+
+
+def _ops(spark, d):
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.linedup import (
+        drop_duplicate_lines,
+    )
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.spandup import (
+        remove_duplicate_spans,
+    )
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.spread import spread
+    from aws_snowflake_kinesis_airflow_pipeline_spark.plans import llm_suite
+
+    docs = spread(
+        spark.read.parquet(f"{d}/documents.parquet").select("doc_id", "text"),
+        "doc_id",
+    )
+    # Registered configurations (plans/llm_suite.py), minus planted rows —
+    # the decades measure corpus behavior, not fixture plumbing.
+    return {
+        "c1": lambda: dedup.exact_dedup(docs, ["text"], "doc_id"),
+        "c2": lambda: dedup.minhash_lsh_pairs(docs, "doc_id", "text"),
+        "c3": lambda: dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.8, max_doc_freq=100
+        ),
+        "c4": lambda: dedup.simhash_near_dup_pairs(
+            docs, "doc_id", "text", max_hamming=6, bits=128
+        ),
+        "c8": lambda: llm_suite.c8_text_features(spark, d),
+        "c16": lambda: dedup.near_dup_dedup(docs, "doc_id", "text", threshold=0.8),
+        "line": lambda: drop_duplicate_lines(
+            docs, "doc_id", "text", max_line_df=3, line_sep="\n"
+        ),
+        "span": lambda: remove_duplicate_spans(
+            docs, "doc_id", "text", window=8, max_df=4
+        ),
+    }
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    reps = 2
+    for a in sys.argv[1:]:
+        if a.startswith("--reps"):
+            reps = int(a.split("=", 1)[1])
+    d = args[0]
+    names = args[1:] or ["c2", "c16", "span"]
+
+    spark = get_spark(app_name="bench_scale")
+    ops = _ops(spark, d)
+    n_docs = spark.read.parquet(f"{d}/documents.parquet").count()  # warm too
+    print(f"dir={d} docs={n_docs} reps={reps} "
+          f"parts={spark.conf.get('spark.sql.shuffle.partitions')} "
+          f"heap={spark.sparkContext.getConf().get('spark.driver.memory')}")
+    for name in names:
+        walls = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            n = ops[name]().count()
+            walls.append(time.perf_counter() - t0)
+        best = min(walls)
+        print(
+            f"{name:5s} best {best:8.1f} s  ({', '.join(f'{w:.1f}' for w in walls)})"
+            f"  rows={n}  docs/s={n_docs / best:,.0f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
