@@ -30,8 +30,33 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import adaptive_shingles, tokens, word_shingles
+from .spread import exchange_partitions as _exchange_partitions
 from .spread import scaled_repartition as _scaled_repartition
 from .spread import spread as _spread
+
+
+def _pin_or_scale(frame: DataFrame, *keys: str, source: DataFrame) -> DataFrame:
+    """Pin an expensive kernel's output that feeds a keyed aggregation.
+
+    At bench SFs (the exchange guard says the session default suffices):
+    ``localCheckpoint`` — materializes the kernel once so no re-plan can
+    replay it, the round-5 discipline, measured free at sf10.
+
+    When spread.exchange_partitions fires (input >> bench SF): a scaled
+    ``repartition`` on the aggregation keys INSTEAD of the checkpoint.
+    The exchange's shuffle files are the same pin (map output is written
+    once; downstream re-plans re-read files, never recompute), while the
+    checkpoint is actively harmful at this scale in two ways it was
+    measured to be: its blocks build at the SCAN's partition count (32
+    corpus-sized block builds in flight = the round-9 16 g OOM), and
+    Spark's LogicalRDD drops outputPartitioning (pinned in test_spread),
+    so a checkpoint above the exchange would force the groupBy to
+    re-shuffle the whole corpus a second time.
+    """
+    n = _exchange_partitions(source)
+    if n is None:
+        return frame.localCheckpoint()
+    return frame.repartition(n, *keys)
 
 
 # --------------------------------------------------------------------------
@@ -912,7 +937,17 @@ def minhash_lsh_pairs(
     # re-plan, and A/B at sf10 measured the write+read of the 8M-row
     # triple as free (within host noise of streaming it). Same
     # discipline as embedding_near_dup_pairs' bucket triple.
-    buckets = band_buckets(sig, id_col, num_hashes, bands).localCheckpoint()
+    # _pin_or_scale: checkpoint at bench SFs; at 1000x the bench SF the
+    # scaled banding exchange replaces it (its shuffle files are the same
+    # pin, with blocks and the final aggregation both sized to the data —
+    # see the helper's docstring for why checkpointing at that scale was
+    # itself the OOM).
+    buckets = _pin_or_scale(
+        band_buckets(sig, id_col, num_hashes, bands),
+        "band_id",
+        "band_hash",
+        source=df,
+    )
 
     # Grouped pair emission (the c3 grouped-postings trick applied to
     # banding): ONE exchange of the bucket triple (groupBy band ->
@@ -927,15 +962,8 @@ def minhash_lsh_pairs(
     # near-dups together) and mega-buckets only arise from mass-exact
     # duplication — run exact_dedup first (as near_dup_dedup's docs
     # say) and they cannot exist.
-    # Auto-size the banding exchange to the corpus (spread.py): the bucket
-    # triple is docs x bands rows and the session-default final-agg
-    # partition count is what OOM'd the 5 M-doc decade at round-8's hand-
-    # set sizing. source=df because the checkpoint truncated buckets'
-    # file lineage. The explicit hash exchange satisfies the groupBy's
-    # clustering requirement — still exactly ONE exchange in the plan.
     postings = (
-        _scaled_repartition(buckets, "band_id", "band_hash", source=df)
-        .groupBy("band_id", "band_hash")
+        buckets.groupBy("band_id", "band_hash")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
@@ -1102,9 +1130,10 @@ def simhash_near_dup_pairs(
     sig_cols = ["simhash"] + (["simhash_hi"] if bits == 128 else [])
     sig = simhash_signatures(df, id_col, text_col, bits=bits)
     words = [F.col(c) for c in sig_cols]
-    # localCheckpoint: pins the full signature aggregation (explode + one
-    # conditional sum per bit over every token — the operator's dominant
-    # compute) so no downstream re-plan can ever replay it.
+    # Pinned below (checkpoint or scaled exchange): the full signature
+    # aggregation (explode + one conditional sum per bit over every token
+    # — the operator's dominant compute) must never be replayed by a
+    # downstream re-plan.
     chunks = sig.select(
         id_col,
         *sig_cols,
@@ -1123,7 +1152,12 @@ def simhash_near_dup_pairs(
         ).alias("ch"),
     ).select(
         id_col, *sig_cols, "ch.chunk_id", "ch.chunk_val"
-    ).localCheckpoint()
+    )
+    # _pin_or_scale: checkpoint at bench SFs; the scaled chunk exchange
+    # replaces it at corpus scale (docs x n_chunks signature-hauling rows
+    # checkpointed at the scan's partition count is the OOM — see
+    # minhash_lsh_pairs and the helper's docstring).
+    chunks = _pin_or_scale(chunks, "chunk_id", "chunk_val", source=df)
 
     # Grouped pair emission (same trick as the banding candidates and
     # c3's postings): ONE exchange of the chunk table into per-
@@ -1138,12 +1172,8 @@ def simhash_near_dup_pairs(
     entry = F.struct(
         F.col(id_col).alias("id"), *[F.col(c) for c in sig_cols]
     )
-    # Auto-size the chunk exchange to the corpus (spread.py): docs x
-    # n_chunks rows each hauling the signature words; source=df because
-    # the checkpoint truncated chunks' file lineage.
     postings = (
-        _scaled_repartition(chunks, "chunk_id", "chunk_val", source=df)
-        .groupBy("chunk_id", "chunk_val")
+        chunks.groupBy("chunk_id", "chunk_val")
         .agg(F.sort_array(F.collect_list(entry)).alias("es"))
         .filter(F.size("es") >= 2)
     )

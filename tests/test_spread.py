@@ -186,3 +186,35 @@ def test_scaled_exchanges_preserve_dedup_results(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(spread_mod, "_EXCHANGE_INPUT_BUDGET", 64)
     assert exchange_partitions(docs) is not None  # the guard is live now
     assert snapshot() == base
+
+
+def test_local_checkpoint_drops_partitioning(spark, sf_dir):
+    """Document the Spark behavior dedup._pin_or_scale is designed
+    around: localCheckpoint's LogicalRDD does NOT carry outputPartitioning
+    forward, so an aggregation above a checkpointed exchange re-shuffles.
+    If a Spark upgrade ever makes this assertion fail, _pin_or_scale can
+    be simplified to repartition + checkpoint."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ck = docs.repartition(7, "doc_id").localCheckpoint()
+    out = ck.groupBy("doc_id").agg(F.count("*").alias("n"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan
+
+
+def test_pin_or_scale_modes(spark, sf_dir, monkeypatch):
+    """_pin_or_scale: checkpoint at bench SFs (guard off); when the guard
+    fires, a scaled repartition whose downstream groupBy adds NO second
+    exchange — the corpus shuffles exactly once."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.dedup import _pin_or_scale
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pinned = _pin_or_scale(docs, "doc_id", source=docs)
+    assert "ExistingRDD" in pinned._jdf.queryExecution().executedPlan().toString()
+
+    monkeypatch.setattr(spread_mod, "_EXCHANGE_INPUT_BUDGET", 64)
+    n = exchange_partitions(docs)
+    scaled = _pin_or_scale(docs, "doc_id", source=docs)
+    out = scaled.groupBy("doc_id").agg(F.count("*").alias("n"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("+- Exchange") + plan.count(":- Exchange") == 1
+    assert f", {n})" in plan

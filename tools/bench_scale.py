@@ -8,9 +8,13 @@ checks at bench SFs), best-of-N with a count() noop sink, on the DEFAULT
 session config — no hand-set shuffle partitions; the spread.py
 exchange-autosizing guard is itself part of what is being measured.
 
-Heap note: 5 M documents on one 32-thread JVM needs
-SPARK_GRAFT_DRIVER_MEM=64g (memory is the cluster resource the single
-box must emulate); partitioning is NOT a knob here by design.
+Heap note (round-9 finding): use a MODERATE heap — 16g clears 5 M
+documents once the exchange guard sizes partitions to the data, while
+64g is actively pathological on this container's kernel: GC over the
+huge heap degrades into 90-99% system time and 3-30x wall-clock
+swings (measured: the same 500 k c2 run is 11-15 s at 8g and an
+erratic 120-412 s at 64g). Right-sized partitions, not a bigger heap,
+are the scale knob — which is also the honest cluster story.
 
 Usage: python tools/bench_scale.py <dir> [op ...] [--reps N]
        ops: c1 c2 c3 c4 c8 c16 line span   (default: c2 c16 span)
@@ -82,12 +86,18 @@ def main() -> None:
         walls = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            n = ops[name]().count()
+            # noop WRITE, not count(): count lets Catalyst prune every
+            # expensive output column (the span/line branches' clean_text
+            # rebuild collapses to a join-cardinality check); the noop
+            # sink materializes the full result like a real consumer.
+            ops[name]().write.format("noop").mode("overwrite").save()
             walls.append(time.perf_counter() - t0)
         best = min(walls)
         print(
-            f"{name:5s} best {best:8.1f} s  ({', '.join(f'{w:.1f}' for w in walls)})"
-            f"  rows={n}  docs/s={n_docs / best:,.0f}"
+            f"\n{name:5s} best {best:8.1f} s  "
+            f"({', '.join(f'{w:.1f}' for w in walls)})"
+            f"  docs/s={n_docs / best:,.0f}",
+            flush=True,
         )
 
 
