@@ -1541,6 +1541,13 @@ def embedding_near_dup_pairs(
             }
         )
 
+    # Auto-size the bucket exchange to the input (spread.py): the
+    # exploded frame is vectors x n_tables rows EACH HAULING THE VECTOR,
+    # so at 1000x the bench SF the session-default partition count turns
+    # every applyInPandas task into a multi-hundred-MB Arrow stream. The
+    # explicit hash exchange satisfies the grouping's clustering
+    # requirement (one exchange either way); no-op at bench SFs.
+    exploded = _scaled_repartition(exploded, "table_id", "bucket", source=df)
     pairs = exploded.groupBy("table_id", "bucket").applyInPandas(
         _bucket_pairs, schema="id1 long, id2 long, cosine double"
     )

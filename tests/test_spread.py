@@ -218,3 +218,30 @@ def test_pin_or_scale_modes(spark, sf_dir, monkeypatch):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("+- Exchange") + plan.count(":- Exchange") == 1
     assert f", {n})" in plan
+
+
+def test_scaled_exchange_preserves_embedding_pairs(spark, monkeypatch):
+    """The embedding LSH bucket exchange (dedup.embedding_near_dup_pairs)
+    also auto-sizes; forcing the guard ON must neither change the pair
+    set nor stack a second exchange under the applyInPandas grouping."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.catalog import load_table
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators import dedup
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    src = emb.unionByName(planted)
+
+    def pairs():
+        rows = dedup.embedding_near_dup_pairs(
+            src, "vec_id", "embedding", threshold=0.9
+        ).collect()
+        return sorted((r["id1"], r["id2"], r["cosine"]) for r in rows)
+
+    base = pairs()
+    assert base, "planted clones must verify"
+    monkeypatch.setattr(spread_mod, "_EXCHANGE_INPUT_BUDGET", 64)
+    assert pairs() == base

@@ -4,7 +4,7 @@ The scale decades (tools/make_sf1.py) exist to answer one question per
 operator: does per-row cost hold as the corpus grows 10x? This harness
 makes those sittings reproducible instead of ad-hoc: each op runs the
 REGISTERED configuration (the same operator call + parameters the driver
-checks at bench SFs), best-of-N with a count() noop sink, on the DEFAULT
+checks at bench SFs), best-of-N with a noop write sink, on the DEFAULT
 session config — no hand-set shuffle partitions; the spread.py
 exchange-autosizing guard is itself part of what is being measured.
 
@@ -17,7 +17,8 @@ erratic 120-412 s at 64g). Right-sized partitions, not a bigger heap,
 are the scale knob — which is also the honest cluster story.
 
 Usage: python tools/bench_scale.py <dir> [op ...] [--reps N]
-       ops: c1 c2 c3 c4 c8 c16 line span   (default: c2 c16 span)
+       ops: c1 c2 c3 c4 c5 c8 c16 line span   (default: c2 c16 span)
+       (c5 needs embeddings.parquet in the dir; the rest need documents)
 """
 
 from __future__ import annotations
@@ -41,28 +42,46 @@ def _ops(spark, d):
     from aws_snowflake_kinesis_airflow_pipeline_spark.operators.spread import spread
     from aws_snowflake_kinesis_airflow_pipeline_spark.plans import llm_suite
 
-    docs = spread(
-        spark.read.parquet(f"{d}/documents.parquet").select("doc_id", "text"),
-        "doc_id",
-    )
+    import functools
+
+    @functools.cache
+    def docs():
+        return spread(
+            spark.read.parquet(f"{d}/documents.parquet").select("doc_id", "text"),
+            "doc_id",
+        )
+
+    @functools.cache
+    def emb():
+        return spread(
+            spark.read.parquet(f"{d}/embeddings.parquet").select(
+                "vec_id", "embedding"
+            ),
+            "vec_id",
+        )
+
     # Registered configurations (plans/llm_suite.py), minus planted rows —
-    # the decades measure corpus behavior, not fixture plumbing.
+    # the decades measure corpus behavior, not fixture plumbing. Frames
+    # load lazily so a documents-only or embeddings-only scale dir works.
     return {
-        "c1": lambda: dedup.exact_dedup(docs, ["text"], "doc_id"),
-        "c2": lambda: dedup.minhash_lsh_pairs(docs, "doc_id", "text"),
+        "c1": lambda: dedup.exact_dedup(docs(), ["text"], "doc_id"),
+        "c2": lambda: dedup.minhash_lsh_pairs(docs(), "doc_id", "text"),
         "c3": lambda: dedup.ngram_jaccard_pairs(
-            docs, "doc_id", "text", k=3, threshold=0.8, max_doc_freq=100
+            docs(), "doc_id", "text", k=3, threshold=0.8, max_doc_freq=100
         ),
         "c4": lambda: dedup.simhash_near_dup_pairs(
-            docs, "doc_id", "text", max_hamming=6, bits=128
+            docs(), "doc_id", "text", max_hamming=6, bits=128
         ),
         "c8": lambda: llm_suite.c8_text_features(spark, d),
-        "c16": lambda: dedup.near_dup_dedup(docs, "doc_id", "text", threshold=0.8),
+        "c16": lambda: dedup.near_dup_dedup(docs(), "doc_id", "text", threshold=0.8),
+        "c5": lambda: dedup.embedding_near_dup_pairs(
+            emb(), "vec_id", "embedding", threshold=0.9
+        ),
         "line": lambda: drop_duplicate_lines(
-            docs, "doc_id", "text", max_line_df=3, line_sep="\n"
+            docs(), "doc_id", "text", max_line_df=3, line_sep="\n"
         ),
         "span": lambda: remove_duplicate_spans(
-            docs, "doc_id", "text", window=8, max_df=4
+            docs(), "doc_id", "text", window=8, max_df=4
         ),
     }
 
@@ -78,7 +97,10 @@ def main() -> None:
 
     spark = get_spark(app_name="bench_scale")
     ops = _ops(spark, d)
-    n_docs = spark.read.parquet(f"{d}/documents.parquet").count()  # warm too
+    import os
+
+    table = "documents" if os.path.exists(f"{d}/documents.parquet") else "embeddings"
+    n_docs = spark.read.parquet(f"{d}/{table}.parquet").count()  # warm too
     print(f"dir={d} docs={n_docs} reps={reps} "
           f"parts={spark.conf.get('spark.sql.shuffle.partitions')} "
           f"heap={spark.sparkContext.getConf().get('spark.driver.memory')}")
