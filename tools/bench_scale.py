@@ -17,8 +17,10 @@ erratic 120-412 s at 64g). Right-sized partitions, not a bigger heap,
 are the scale knob — which is also the honest cluster story.
 
 Usage: python tools/bench_scale.py <dir> [op ...] [--reps N]
-       ops: c1 c2 c3 c4 c5 c8 c16 line span   (default: c2 c16 span)
-       (c5 needs embeddings.parquet in the dir; the rest need documents)
+       ops: c1 c2 c3 c4 c5 c8 c16 line span
+            retention transition funnel tumbling session
+       (default: c2 c16 span; c5 needs embeddings.parquet in the dir,
+       the event ops need events.parquet, the rest need documents)
 """
 
 from __future__ import annotations
@@ -44,11 +46,42 @@ def _ops(spark, d):
 
     import functools
 
+    def _evops():
+        import types
+
+        from aws_snowflake_kinesis_airflow_pipeline_spark.operators.event_funnel import (
+            funnel_conversion,
+        )
+        from aws_snowflake_kinesis_airflow_pipeline_spark.operators.retention import (
+            cohort_retention,
+        )
+        from aws_snowflake_kinesis_airflow_pipeline_spark.operators.transitions import (
+            event_transitions,
+        )
+        from aws_snowflake_kinesis_airflow_pipeline_spark.streaming.windows import (
+            batch_sessions_gaps_and_islands,
+            tumbling_counts,
+        )
+
+        return types.SimpleNamespace(**locals())
+
     @functools.cache
     def docs():
         return spread(
             spark.read.parquet(f"{d}/documents.parquet").select("doc_id", "text"),
             "doc_id",
+        )
+
+    @functools.cache
+    def ev():
+        # Derived .scale events are rewritten by DuckDB as microsecond
+        # TIMESTAMP, so a plain parquet read works (the driver's fixture
+        # needs catalog.load_table for its TIMESTAMP(NANOS)).
+        return spread(
+            spark.read.parquet(f"{d}/events.parquet").select(
+                "event_id", "ts", "user_id", "event_type"
+            ),
+            "user_id",
         )
 
     @functools.cache
@@ -77,6 +110,13 @@ def _ops(spark, d):
         "c5": lambda: dedup.embedding_near_dup_pairs(
             emb(), "vec_id", "embedding", threshold=0.9
         ),
+        "retention": lambda: _evops().cohort_retention(ev(), period="week"),
+        "transition": lambda: _evops().event_transitions(ev()),
+        "funnel": lambda: _evops().funnel_conversion(
+            ev(), ["view", "click", "purchase"], within="1 hour"
+        ),
+        "tumbling": lambda: _evops().tumbling_counts(ev(), streaming=False),
+        "session": lambda: _evops().batch_sessions_gaps_and_islands(ev()),
         "line": lambda: drop_duplicate_lines(
             docs(), "doc_id", "text", max_line_df=3, line_sep="\n"
         ),
@@ -99,7 +139,11 @@ def main() -> None:
     ops = _ops(spark, d)
     import os
 
-    table = "documents" if os.path.exists(f"{d}/documents.parquet") else "embeddings"
+    table = next(
+        t
+        for t in ("documents", "embeddings", "events")
+        if os.path.exists(f"{d}/{t}.parquet")
+    )
     n_docs = spark.read.parquet(f"{d}/{table}.parquet").count()  # warm too
     print(f"dir={d} docs={n_docs} reps={reps} "
           f"parts={spark.conf.get('spark.sql.shuffle.partitions')} "

@@ -50,7 +50,12 @@ KEY_SHIFTS: dict[str, dict[str, int]] = {
     "lineitem": {"l_orderkey": 150_000, "l_partkey": 20_000, "l_suppkey": 1_000},
     "part": {"p_partkey": 20_000},
     "supplier": {"s_suppkey": 1_000},
-    "events": {"event_id": 100_000},
+    # user_id shift added round 9: without it every replica reuses the
+    # same 1 500 users, so a 1000x derivation inflates events-per-user
+    # 1000x instead of growing the user population — the wrong shape for
+    # the event-analytics decade (retention/transition/funnel state is
+    # per-user). With the shift, per-user history is replica-identical.
+    "events": {"event_id": 100_000, "user_id": 1_500},
     "documents": {"doc_id": 5_000},
     "embeddings": {"vec_id": 2_000},
 }
