@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import tokens
+from .spread import scaled_repartition as _scaled_repartition
 
 #: Reserved id for out-of-vocabulary tokens. Real tokens start at 1.
 UNK_ID = 0
@@ -81,12 +82,21 @@ def encode_documents(
     exploded = docs.select(
         F.col(id_col), F.posexplode(t).alias("_pos", "token")
     )
+    # The reassembly exchange (corpus-token-volume rows collected into
+    # per-doc id arrays) auto-sizes to the input (spread.py) — the same
+    # final-aggregation OOM shape as the dedup family's collect_list
+    # exchanges at 1000x the bench SF. No-op at bench SFs.
     enc = (
-        exploded.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
-        .select(
+        _scaled_repartition(
+            exploded.join(
+                F.broadcast(vocab.select("token", "token_id")), "token", "left"
+            ).select(
+                id_col,
+                "_pos",
+                F.coalesce("token_id", F.lit(UNK_ID)).cast("int").alias("_tid"),
+            ),
             id_col,
-            "_pos",
-            F.coalesce("token_id", F.lit(UNK_ID)).cast("int").alias("_tid"),
+            source=docs,
         )
         .groupBy(id_col)
         .agg(
@@ -126,12 +136,19 @@ def decode_ids(
     exploded = encoded.select(
         F.col(id_col), F.posexplode(ids_col).alias("_pos", "token_id")
     )
+    # Same reassembly-exchange auto-sizing as encode_documents (no-op for
+    # the registered audit path, which decodes a bounded in-memory sample).
     dec = (
-        exploded.join(
-            F.broadcast(vocab.select("token", "token_id")), "token_id", "left"
-        )
-        .select(
-            id_col, "_pos", F.coalesce("token", F.lit(unk_token)).alias("_tok")
+        _scaled_repartition(
+            exploded.join(
+                F.broadcast(vocab.select("token", "token_id")), "token_id", "left"
+            ).select(
+                id_col,
+                "_pos",
+                F.coalesce("token", F.lit(unk_token)).alias("_tok"),
+            ),
+            id_col,
+            source=encoded,
         )
         .groupBy(id_col)
         .agg(

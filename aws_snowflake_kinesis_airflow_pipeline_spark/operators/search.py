@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import tokens
+from .spread import scaled_repartition as _scaled_repartition
 
 
 def _lower_tokens(text_col: str):
@@ -213,7 +214,22 @@ def tf_idf_vectors(
     # both the vocabulary df aggregate and the weighting join. Unlike BM25
     # postings this table is corpus-sized — on a cluster persist it to
     # storage bucketed by term instead (sources/storage.py).
-    tf = exploded.groupBy(id_col, "term").agg(F.count("*").alias("tf")).localCheckpoint()
+    # The (doc, term) aggregation and its checkpoint auto-size to the
+    # corpus (spread.py): a term-keyed scaled exchange serves BOTH this
+    # aggregation (HashPartitioning on a SUBSET of the group keys
+    # satisfies its clustering — equal (id, term) implies equal term) and
+    # the vocabulary df aggregate below, and the checkpoint then stores
+    # right-sized blocks instead of scan-partition-sized ones (the
+    # round-9 OOM shape). Term-keyed partitioning concentrates a hot
+    # term's postings, which is acceptable here: the scaled count grows
+    # with the corpus while any one term's postings are bounded by N.
+    # No-op at bench SFs.
+    tf = (
+        _scaled_repartition(exploded, "term", source=docs)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
     # df per term, capped to the top-vocab_size by df (ties by term asc).
     df_tab = (
         tf.groupBy("term")

@@ -245,3 +245,53 @@ def test_scaled_exchange_preserves_embedding_pairs(spark, monkeypatch):
     assert base, "planted clones must verify"
     monkeypatch.setattr(spread_mod, "_EXCHANGE_INPUT_BUDGET", 64)
     assert pairs() == base
+
+
+def test_subset_key_exchange_satisfies_wider_groupby(spark, sf_dir):
+    """tfidf_vectors' design fact: a hash exchange on a SUBSET of the
+    group keys (term) satisfies a wider groupBy's clustering (id, term) —
+    equal (id, term) implies equal term implies same partition. Exactly
+    one exchange below the (id, term) aggregation."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exploded = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "\\s+")).alias("term")
+    )
+    out = (
+        scaled_repartition(exploded, "term", source=docs, bytes_per_partition=64)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("+- Exchange") + plan.count(":- Exchange") == 1
+    assert "hashpartitioning(term#" in plan
+
+
+def test_scaled_exchanges_preserve_tfidf_and_encoding(spark, sf_dir, monkeypatch):
+    """tfidf_vectors and encode/decode reassembly also auto-size; forcing
+    the guard ON must not change any result."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.encoding import (
+        build_vocab,
+        decode_ids,
+        encode_documents,
+    )
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.search import (
+        tf_idf_vectors,
+    )
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
+
+    def snapshot():
+        tv = tf_idf_vectors(docs, vocab_size=50).collect()
+        vocab = build_vocab(docs, vocab_size=64)
+        encoded = encode_documents(docs, vocab)
+        en = encoded.collect()
+        de = decode_ids(encoded, vocab).collect()
+        key = lambda r: tuple(str(v) for v in r)
+        return [sorted(rows, key=key) for rows in (tv, en, de)]
+
+    base = snapshot()
+    monkeypatch.setattr(spread_mod, "_EXCHANGE_INPUT_BUDGET", 64)
+    assert snapshot() == base

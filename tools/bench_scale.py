@@ -65,6 +65,25 @@ def _ops(spark, d):
 
         return types.SimpleNamespace(**locals())
 
+    def _searchops():
+        import types
+
+        from aws_snowflake_kinesis_airflow_pipeline_spark.operators.search import (
+            tf_idf_vectors,
+        )
+
+        return types.SimpleNamespace(**locals())
+
+    def _encops():
+        import types
+
+        from aws_snowflake_kinesis_airflow_pipeline_spark.operators.encoding import (
+            build_vocab,
+            encode_documents,
+        )
+
+        return types.SimpleNamespace(**locals())
+
     @functools.cache
     def docs():
         return spread(
@@ -117,6 +136,10 @@ def _ops(spark, d):
         ),
         "tumbling": lambda: _evops().tumbling_counts(ev(), streaming=False),
         "session": lambda: _evops().batch_sessions_gaps_and_islands(ev()),
+        "tfidf": lambda: _searchops().tf_idf_vectors(docs(), vocab_size=1000),
+        "encode": lambda: _encops().encode_documents(
+            docs(), _encops().build_vocab(docs(), vocab_size=64)
+        ),
         "line": lambda: drop_duplicate_lines(
             docs(), "doc_id", "text", max_line_df=3, line_sep="\n"
         ),
