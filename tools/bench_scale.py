@@ -17,7 +17,7 @@ erratic 120-412 s at 64g). Right-sized partitions, not a bigger heap,
 are the scale knob — which is also the honest cluster story.
 
 Usage: python tools/bench_scale.py <dir> [op ...] [--reps N]
-       ops: c1 c2 c3 c4 c5 c8 c16 line span
+       ops: c1 c2 c3 c4 c5 c8 c16 line span tfidf encode chain
             retention transition funnel tumbling session
        (default: c2 c16 span; c5 needs embeddings.parquet in the dir,
        the event ops need events.parquet, the rest need documents)
@@ -64,6 +64,51 @@ def _ops(spark, d):
         )
 
         return types.SimpleNamespace(**locals())
+
+    def _chain(spark, docs):
+        """The full curation cascade of tests/test_curation_e2e.py —
+        normalize → exact dedup → span dedup → near-dup dedup → quality
+        gate → PII redaction → benchmark decontamination → leakage-safe
+        split — end-to-end over the scale corpus. One deviation from the
+        e2e fixture: the quality gate uses prefix-invariant signals
+        (token_count, top_word_frac) because the replica derivation
+        prefixes every token, which zeroes stopword_ratio for 99.9% of
+        the corpus and would starve every stage after the gate."""
+        from pyspark.sql import functions as F
+
+        from aws_snowflake_kinesis_airflow_pipeline_spark.functions.normalize import (
+            normalize_text,
+        )
+        from aws_snowflake_kinesis_airflow_pipeline_spark.functions.pii import (
+            redact_pii,
+        )
+        from aws_snowflake_kinesis_airflow_pipeline_spark.functions.text import (
+            token_count,
+            top_word_frac,
+        )
+        from aws_snowflake_kinesis_airflow_pipeline_spark.operators.contamination import (
+            decontaminate,
+        )
+        from aws_snowflake_kinesis_airflow_pipeline_spark.operators.leakage import (
+            leakage_safe_split,
+        )
+        from aws_snowflake_kinesis_airflow_pipeline_spark.operators.spandup import (
+            remove_duplicate_spans,
+        )
+
+        normed = docs.select("doc_id", normalize_text("text").alias("text"))
+        exact = dedup.exact_dedup(normed, key_cols=["text"], id_col="doc_id")
+        spanless = remove_duplicate_spans(exact, window=8, max_df=4).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+        neared = dedup.near_dup_dedup(spanless, "doc_id", "text", threshold=0.8)
+        gated = neared.filter(
+            (token_count("text") >= 8) & (top_word_frac("text") <= 0.8)
+        )
+        redacted = gated.select("doc_id", redact_pii("text").alias("text"))
+        bench_set = docs.limit(100).select("doc_id", "text")
+        cleaned = decontaminate(redacted, bench_set, k=3, max_contamination=0.3)
+        return leakage_safe_split(cleaned, val_fraction=0.1, threshold=0.8)
 
     def _searchops():
         import types
@@ -136,6 +181,7 @@ def _ops(spark, d):
         ),
         "tumbling": lambda: _evops().tumbling_counts(ev(), streaming=False),
         "session": lambda: _evops().batch_sessions_gaps_and_islands(ev()),
+        "chain": lambda: _chain(spark, docs()),
         "tfidf": lambda: _searchops().tf_idf_vectors(docs(), vocab_size=1000),
         "encode": lambda: _encops().encode_documents(
             docs(), _encops().build_vocab(docs(), vocab_size=64)
