@@ -9,17 +9,20 @@ The fix is frequency-based: a line whose DOCUMENT frequency exceeds a
 threshold is boilerplate and is removed from every document; each
 document's remaining lines are reassembled in their original order.
 
-Scale shape — two corpus-volume equality exchanges, the same budget as
-exact dedup:
+Scale shape — exactly two corpus-volume equality exchanges, the same
+budget as exact dedup:
 
-1. line df: distinct (doc, line) → groupBy(line) count — map-side combine
-   bounds the exchange by per-partition distinct lines;
-2. filter: lines left-anti-join the hot-line set on line text (equality
-   join on the line; no broadcast assumption — the hot set is small by
-   construction at sane thresholds, but its size is data-dependent, so the
-   planner/AQE decides);
-3. reassemble: groupBy(doc) over (position, line) structs, sort_array, and
-   rejoin — one exchange keyed by document id.
+1. line df: ONE exchange keyed by line text serves both the per-document
+   distinct (hash on {line} clusters equal (doc, line) pairs — subset-key
+   rule) and the groupBy(line) count above it;
+2. mark: lines left-outer-join the hot-line set on line text and carry a
+   boolean flag (the hot set is small by construction at sane thresholds,
+   so the planner/AQE broadcasts it; its size is data-dependent, so no
+   broadcast is forced);
+3. reassemble: ONE exchange keyed by document id computes the rebuilt
+   text, total line count, and kept line count in a single aggregation —
+   collect_list skips the NULL structs the hot flag produces, so no
+   second per-document pass and no re-join exists.
 
 No step is ever pair-quadratic and no driver-side collection exists at any
 size. At 100 TB the df pass would typically hash the line (16-byte
@@ -54,15 +57,15 @@ def drop_duplicate_lines(
     counts each document once however often the line repeats inside it.
     Documents with no text produce ``clean_text = ''``.
 
-    ``hot_join_salts``: the filter's anti-join keys corpus line volume by
-    line TEXT, and a viral boilerplate line is by definition a hot key.
-    The default path relies on the hot set broadcasting (it is small at
-    sane thresholds, and AQE converts to broadcast at runtime from actual
+    ``hot_join_salts``: the marking join keys corpus line volume by line
+    TEXT, and a viral boilerplate line is by definition a hot key. The
+    default path relies on the hot set broadcasting (it is small at sane
+    thresholds, and AQE converts to broadcast at runtime from actual
     size); AQE's skew SPLIT cannot reach this join — the hot set is an
     aggregate, which breaks the rule's sort-over-shuffle pattern match
     (pinned in tests/test_skew.py). If the hot set ever outgrows
     broadcast, pass ``hot_join_salts`` > 0 to shard each hot key across
-    that many partitions via ``skew.salted_left_anti_join`` —
+    that many partitions via ``skew.salted_left_mark_join`` —
     row-identical output, pinned by test.
     """
     # coalesce: split(NULL) is NULL and posexplode of NULL emits no rows,
@@ -83,45 +86,56 @@ def drop_duplicate_lines(
             )
         ).alias("pos", "line"),
     )
-    # Auto-size the two corpus-text-volume exchanges (the per-doc distinct
-    # and the reassembly below) to the input — spread.scaled_repartition
-    # is a no-op at bench SFs and sizes the final-aggregation partition
-    # count to the data at 100x+ (the 5 M-doc decade's lesson). The
-    # distinct's exchange keys are exactly its columns, so the explicit
-    # hash exchange satisfies its clustering requirement (one exchange).
+    # Auto-size the two corpus-text-volume exchanges (the line-df pass and
+    # the reassembly below) to the input — spread.scaled_repartition is a
+    # no-op at bench SFs and sizes the final-aggregation partition count
+    # to the data at 100x+ (the 5 M-doc decade's lesson). The exchange is
+    # keyed on 'line' ALONE: {line} is a subset of the distinct's keys
+    # {id, line} (equal pairs imply equal line → same partition) and
+    # equals the groupBy's key, so ONE scaled exchange serves both
+    # aggregations; keyed on (id, line) the groupBy(line) would insert a
+    # second, session-default-sized exchange whose per-partition hash map
+    # holds one full line text per distinct line — the very OOM shape the
+    # guard exists to remove. Hot-line concentration under the line-only
+    # key is bounded: a line's df rows are at most one per document.
     hot = (
-        _scaled_repartition(lines.select(id_col, "line"), id_col, "line", source=df)
+        _scaled_repartition(lines.select(id_col, "line"), "line", source=df)
         .distinct()
         .groupBy("line")
         .agg(F.count("*").alias("line_df"))
         .filter(F.col("line_df") > max_line_df)
         .select("line")
     )
+    # Mark instead of filter: a left-outer join with a boolean flag lets
+    # the single aggregation below compute total AND kept counts from one
+    # pass, where an anti-join would force a second per-document exchange
+    # (totals) plus a re-join to resurrect all-boilerplate documents.
     if hot_join_salts > 0:
-        from .skew import salted_left_anti_join
+        from .skew import salted_left_mark_join
 
-        kept = salted_left_anti_join(lines, hot, "line", hot_join_salts)
+        flagged = salted_left_mark_join(lines, hot, "line", hot_join_salts)
     else:
-        kept = lines.join(hot, "line", "left_anti")
-    rebuilt = _scaled_repartition(kept, id_col, source=df).groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
-            ),
-            line_sep,
-        ).alias("clean_text"),
-        F.count("*").alias("n_kept"),
-    )
-    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
-    # left join: a document whose every line was boilerplate has no kept
-    # rows — surface it as an empty document, not a dropped row.
+        flagged = lines.join(
+            hot.withColumn("_hot", F.lit(True)), "line", "left"
+        ).withColumn("_hot", F.coalesce("_hot", F.lit(False)))
+    keep = ~F.col("_hot")
+    # collect_list drops the NULLs the un-kept rows' WHEN produces, so the
+    # rebuilt array holds exactly the kept lines; an all-boilerplate (or
+    # empty) document yields an empty array → array_join = ''.
     return (
-        totals.join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            "n_lines",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        _scaled_repartition(flagged, id_col, source=df)
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("pos", "line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+                line_sep,
+            ).alias("clean_text"),
+            F.count("*").alias("n_lines"),
+            F.count(F.when(keep, F.lit(1))).alias("n_kept"),
         )
     )

@@ -215,12 +215,15 @@ def tf_idf_vectors(
     # postings this table is corpus-sized — on a cluster persist it to
     # storage bucketed by term instead (sources/storage.py).
     # The (doc, term) aggregation and its checkpoint auto-size to the
-    # corpus (spread.py): a term-keyed scaled exchange serves BOTH this
+    # corpus (spread.py): a term-keyed scaled exchange serves this
     # aggregation (HashPartitioning on a SUBSET of the group keys
     # satisfies its clustering — equal (id, term) implies equal term) and
-    # the vocabulary df aggregate below, and the checkpoint then stores
-    # right-sized blocks instead of scan-partition-sized ones (the
-    # round-9 OOM shape). Term-keyed partitioning concentrates a hot
+    # right-sizes the checkpoint's stored blocks instead of
+    # scan-partition-sized ones (the round-9 OOM shape). The df aggregate
+    # below re-exchanges by design: localCheckpoint's LogicalRDD drops
+    # outputPartitioning (pinned in tests/test_spread.py), and its
+    # per-partition state is one small (term, count) pair per distinct
+    # term, not postings. Term-keyed partitioning concentrates a hot
     # term's postings, which is acceptable here: the scaled count grows
     # with the corpus while any one term's postings are bounded by N.
     # No-op at bench SFs.

@@ -92,12 +92,17 @@ def exchange_partitions(
         # constant to force the guard at tiny fixtures.
         bytes_per_partition = _EXCHANGE_INPUT_BUDGET
     spark = source.sparkSession
-    session_parts = int(
-        spark.conf.get(
-            "spark.sql.shuffle.partitions",
-            str(spark.sparkContext.defaultParallelism),
+    try:
+        session_parts = int(
+            spark.conf.get(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
         )
-    )
+    except ValueError:
+        # Non-integer values exist in the wild ("auto" on some managed
+        # platforms) — trust the session/AQE there rather than raise.
+        return None
     files = source.inputFiles()
     if not files:
         return None

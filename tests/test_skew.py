@@ -266,10 +266,11 @@ def _boiler_docs(spark, n_docs):
     )
 
 
-def test_linedup_hot_anti_join_mitigation_matrix(spark):
-    """The first real-cluster skew incident shape: linedup's left-anti join
-    keys corpus line volume by line TEXT, and one viral boilerplate line is
-    a hot key. Pin the full mitigation story on the PRODUCTION operator:
+def test_linedup_hot_mark_join_mitigation_matrix(spark):
+    """The first real-cluster skew incident shape: linedup's hot-line
+    marking join keys corpus line volume by line TEXT, and one viral
+    boilerplate line is a hot key. Pin the full mitigation story on the
+    PRODUCTION operator:
 
     1. default path — the hot set BROADCASTS (no shuffle of the line
        volume by line at all, so no skew hazard exists);
@@ -278,7 +279,7 @@ def test_linedup_hot_anti_join_mitigation_matrix(spark):
        sort-over-shuffle pattern match) — the documented reason the
        salted path exists, pinned so a Spark upgrade that lifts the
        limitation is noticed;
-    3. hot_join_salts > 0 — the salted anti-join fans the hot key across
+    3. hot_join_salts > 0 — the salted mark join fans the hot key across
        salt partitions with row-identical output."""
     from aws_snowflake_kinesis_airflow_pipeline_spark.operators.linedup import (
         drop_duplicate_lines,
@@ -293,26 +294,26 @@ def test_linedup_hot_anti_join_mitigation_matrix(spark):
         )
     )
 
-    # 1. Default path: broadcast anti-join, no line-keyed shuffle of the
-    # corpus volume.
+    # 1. Default path: broadcast left-outer mark join, no line-keyed
+    # shuffle of the corpus volume.
     out = drop_duplicate_lines(docs, "doc_id", "text", max_line_df=3)
     rows_default = out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert expect(rows_default)
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan, plan[:2000]
 
     with _with_tiny_skew_thresholds(spark):
-        # 2. Broadcast disabled: the anti-join shuffles by line and AQE
+        # 2. Broadcast disabled: the mark join shuffles by line and AQE
         # does NOT mark it skewed even with a planted hot key far past the
         # tiny thresholds — the aggregate child defeats the pattern match.
         out2 = drop_duplicate_lines(docs, "doc_id", "text", max_line_df=3)
         rows_smj = out2.collect()
         plan2 = out2._jdf.queryExecution().executedPlan().toString()
         assert expect(rows_smj)
-        assert "LeftAnti" in plan2 and "BroadcastHashJoin" not in plan2
+        assert "LeftOuter" in plan2 and "BroadcastHashJoin" not in plan2
         assert "skew=true" not in plan2  # AQE can't reach this shape
 
-        # 3. The wired mitigation: salted anti-join, row-identical, joined
+        # 3. The wired mitigation: salted mark join, row-identical, joined
         # on (line, salt) so the hot key fans out across salt partitions.
         out3 = drop_duplicate_lines(
             docs, "doc_id", "text", max_line_df=3, hot_join_salts=8
@@ -320,8 +321,27 @@ def test_linedup_hot_anti_join_mitigation_matrix(spark):
         rows_salted = out3.collect()
         plan3 = out3._jdf.queryExecution().executedPlan().toString()
         assert expect(rows_salted)
-        assert "_salt" in plan3 and "LeftAnti" in plan3
+        assert "_salt" in plan3 and "LeftOuter" in plan3
     assert sorted(map(tuple, rows_salted)) == sorted(map(tuple, rows_default))
+
+
+def test_salted_mark_join_matches_plain(spark):
+    df = skewed_df(spark)
+    right = df.filter(F.col("k") == "hot").select("k").distinct()
+    plain = sorted(
+        (r["k"], r["v"], r["_hot"])
+        for r in df.join(
+            right.withColumn("_hot", F.lit(True)), "k", "left"
+        )
+        .withColumn("_hot", F.coalesce("_hot", F.lit(False)))
+        .collect()
+    )
+    salted = sorted(
+        (r["k"], r["v"], r["_hot"])
+        for r in skew.salted_left_mark_join(df, right, "k").collect()
+    )
+    assert salted == plain
+    assert sum(1 for _, _, h in salted if h) == 900  # the hot key's rows
 
 
 def test_nonpositive_salts_raise(spark):
@@ -337,3 +357,7 @@ def test_nonpositive_salts_raise(spark):
             skew.salted_inner_join(df, right, "k", n_salts=n)
         with pytest.raises(ValueError):
             skew.salted_left_anti_join(df, right, "k", n_salts=n)
+        # zero salts would mark every row False — same silent-corruption
+        # shape as the anti-join keeping everything.
+        with pytest.raises(ValueError):
+            skew.salted_left_mark_join(df, right, "k", n_salts=n)
