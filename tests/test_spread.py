@@ -160,6 +160,29 @@ def test_scaled_repartition_satisfies_downstream_groupby(spark, sf_dir):
     assert f", {n})" in plan, f"scaled count {n} not in plan:\n{plan}"
 
 
+def test_linedup_plan_has_two_scaled_exchanges(spark, sf_dir, monkeypatch):
+    """Pin the reworked line-dedup plan shape with the guard forced ON:
+    exactly TWO data-bearing exchanges — one hashpartitioning(line) that
+    serves BOTH the per-document distinct (subset-key rule) and the
+    line-df groupBy, and one hashpartitioning(doc_id) for the single-pass
+    reassembly — plus a broadcast of the small hot set. A third hash
+    exchange appearing here means one of the two aggregation stacks
+    stopped being served by its scaled exchange (the corpus-scale OOM
+    shape the guard exists to remove)."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators import linedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    monkeypatch.setattr(spread_mod, "_EXCHANGE_INPUT_BUDGET", 64)
+    n = exchange_partitions(docs)
+    assert n is not None
+    out = linedup.drop_duplicate_lines(docs, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert hash_exchanges == 2, plan[:4000]
+    assert plan.count(f", {n})") >= 2  # both at the scaled count
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
 def test_scaled_exchanges_preserve_dedup_results(spark, sf_dir, monkeypatch):
     """Forcing the guard ON at a tiny fixture (budget = 64 bytes -> the
     exchanges fire with ~100+ partitions) must not change any dedup-family
