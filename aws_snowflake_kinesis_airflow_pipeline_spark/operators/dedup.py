@@ -64,7 +64,12 @@ def _pin_or_scale(frame: DataFrame, *keys: str, source: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    unique_ids: bool = False,
+) -> DataFrame:
     """One row per distinct ``key_cols`` value, keeping the minimum ``id_col``
     as the deterministic representative (dropDuplicates picks an arbitrary
     row — unacceptable for reproducible pipelines).
@@ -74,14 +79,26 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     100 TB the exchange hashes/compares a 16-byte key rather than full
     document bodies. xxhash64 hashes native column values directly —
     null-safe and full-precision for every type (a JSON-encode fingerprint
-    would truncate timestamps to the render format's precision). The key
-    columns themselves ride along as ``min_by`` aggregates (every value in
-    a group is identical modulo a 128-bit collision, which is below
-    hardware-error probability).
+    would truncate timestamps to the render format's precision). In the
+    default (replay-safe) form the key columns ride along as ``min_by``
+    aggregates (every value in a group is identical modulo a 128-bit
+    collision, which is below hardware-error probability), so the one
+    exchange still carries row BODIES.
 
-    Caveat: the fingerprint distinguishes -0.0 from 0.0 in float keys
-    (raw-bits hashing) where groupBy would merge them; normalize float
-    keys first if that distinction matters.
+    ``unique_ids=True`` — the fast path when ``id_col`` is globally unique
+    and non-null (the normal shape for a document corpus): only the narrow
+    (fingerprint, id) pairs shuffle, the loser-id set (small for a
+    mostly-unique corpus) comes from a window min per fingerprint, and a
+    left-anti join removes losers from the ORIGINAL scan — document bodies
+    never enter an exchange at all. Row-identical to the default path on
+    unique-id input (property-pinned); NOT safe under at-least-once
+    replay, where exact row duplicates share an id and both copies would
+    survive — that case belongs to the default path, which collapses them
+    by fingerprint.
+
+    Caveat (both paths): the fingerprint distinguishes -0.0 from 0.0 in
+    float keys (raw-bits hashing) where groupBy would merge them;
+    normalize float keys first if that distinction matters.
     """
     others = [c for c in df.columns if c not in key_cols and c != id_col]
     # Each key contributes an explicit null-flag child alongside the value:
@@ -93,6 +110,30 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     for c in key_cols:
         keys.append(F.isnull(c).cast("int"))
         keys.append(F.col(c))
+    if unique_ids:
+        from pyspark.sql.window import Window
+
+        # Narrow pairs only: 2 longs of fingerprint + the id. The window's
+        # exchange (auto-sized like every corpus-volume exchange, though
+        # here a "partition" is 24 bytes/row) and its partition-key sort
+        # never see a document body; the loser set is |rows| - |distinct
+        # keys|, so for a mostly-unique corpus the anti-join's right side
+        # is tiny and broadcasts (AQE decides from actual size).
+        pairs = df.select(
+            F.col(id_col),
+            F.xxhash64(F.lit(0), *keys).alias("_key_fp0"),
+            F.xxhash64(F.lit(1), *keys).alias("_key_fp1"),
+        )
+        w = Window.partitionBy("_key_fp0", "_key_fp1")
+        losers = (
+            _scaled_repartition(pairs, "_key_fp0", "_key_fp1", source=df)
+            .withColumn("_win", F.min(id_col).over(w))
+            .filter(F.col(id_col) != F.col("_win"))
+            .select(id_col)
+        )
+        return df.join(losers, id_col, "left_anti").select(
+            *key_cols, id_col, *others
+        )
     fp = F.concat(
         F.xxhash64(F.lit(0), *keys).cast("string"),
         F.lit(":"),

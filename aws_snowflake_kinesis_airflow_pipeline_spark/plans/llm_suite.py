@@ -115,7 +115,12 @@ def c1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
     shifted = docs.withColumn("doc_id", F.col("doc_id") + 1000000)
     corpus = docs.union(shifted)
-    out = dedup.exact_dedup(corpus, key_cols=["text"], id_col="doc_id")
+    # unique_ids: the union's ids are disjoint by construction (shift >
+    # fixture max), so the narrow-exchange fast path applies — bodies
+    # never shuffle; only (fingerprint, id) pairs do.
+    out = dedup.exact_dedup(
+        corpus, key_cols=["text"], id_col="doc_id", unique_ids=True
+    )
     exact = out.select(
         F.lit("exact").alias("branch"),
         "doc_id",

@@ -73,6 +73,34 @@ def test_exact_dedup_exchange_on_fingerprint(spark, sf_dir):
     assert exchanges and all("_key_fp" in l for l in exchanges)
 
 
+def test_exact_dedup_unique_ids_never_shuffles_bodies(spark, sf_dir):
+    """The unique_ids fast path's contract: document bodies never enter an
+    exchange. The only fingerprint-keyed exchange feeds the loser window
+    over narrow (fp0, fp1, id) pairs, and losers leave via a left-anti
+    join against the original scan — so no hash exchange may carry the
+    text column, and the anti-join must be present."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.catalog import load_table
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.dedup import (
+        exact_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    out = exact_dedup(docs, ["text"], "doc_id", unique_ids=True)
+    out.collect()  # let AQE finalize the join strategy
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert any(
+        "_key_fp0" in l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l
+    )
+    # The loser side is small -> AQE lands on a broadcast anti-join, so
+    # the corpus side reaches the join scan-partitioned, bodies unshuffled.
+    assert "BroadcastHashJoin" in plan
+
+
 def test_shingle_index_is_shuffle_free(spark, sf_dir):
     """Per-document shingle uniqueness must come from array_distinct inside
     the row, not a global distinct: at 100 TB a distinct over the exploded

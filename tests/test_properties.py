@@ -123,6 +123,31 @@ def test_exact_dedup_idempotent_and_replay_invariant(spark, rows):
     assert rowset(replay) == expect
 
 
+@given(rows=doc_rows)
+@SETTINGS
+def test_exact_dedup_unique_ids_fast_path_matches_default(spark, rows):
+    """The narrow-exchange fast path (unique_ids=True: only (fingerprint,
+    id) pairs shuffle, losers removed by anti-join) must be row-identical
+    to the default body-hauling aggregation whenever its precondition
+    holds — globally unique ids, enforced here by keeping the first row
+    per generated id."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.dedup import (
+        exact_dedup,
+    )
+
+    seen, uniq = set(), []
+    for doc_id, text in rows:
+        if doc_id not in seen:
+            seen.add(doc_id)
+            uniq.append((doc_id, text))
+    df = spark.createDataFrame(uniq, "doc_id long, text string")
+    slow = exact_dedup(df, key_cols=["text"], id_col="doc_id")
+    fast = exact_dedup(df, key_cols=["text"], id_col="doc_id", unique_ids=True)
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, slow.collect())
+    )
+
+
 # --------------------------------------------------------------------------
 # LLM-data operator invariants
 # --------------------------------------------------------------------------

@@ -161,7 +161,9 @@ def _ops(spark, d):
     # the decades measure corpus behavior, not fixture plumbing. Frames
     # load lazily so a documents-only or embeddings-only scale dir works.
     return {
-        "c1": lambda: dedup.exact_dedup(docs(), ["text"], "doc_id"),
+        "c1": lambda: dedup.exact_dedup(
+            docs(), ["text"], "doc_id", unique_ids=True
+        ),
         "c2": lambda: dedup.minhash_lsh_pairs(docs(), "doc_id", "text"),
         "c3": lambda: dedup.ngram_jaccard_pairs(
             docs(), "doc_id", "text", k=3, threshold=0.8, max_doc_freq=100
