@@ -608,6 +608,109 @@ def test_span_dedup_matches_duckdb_on_random_corpus(spark):
     assert all(got[i][2] == 0 for i in range(4, 80, 8))
 
 
+def test_line_dedup_matches_duckdb_on_random_corpus(spark):
+    """B30: drop_duplicate_lines == the c26 'line' branch DuckDB replay on
+    a random corpus with hostile line shapes — NULL and empty documents,
+    all-boilerplate documents, the EMPTY LINE as a hot line (blank lines
+    repeat across most real documents), boilerplate at first/last
+    position, and in-doc repeats of a below-threshold line (df counts
+    documents, not occurrences). Also pins the salted hot-join escape
+    path row-identical on the same corpus."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.linedup import (
+        drop_duplicate_lines,
+    )
+
+    rng = random.Random(47)
+    vocab = [f"w{i}" for i in range(60)]
+    boiler = ["all rights reserved", "cookie notice", ""]  # incl. empty line
+    docs = []
+    for i in range(90):
+        lines = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(0, 5))
+        ]
+        roll = i % 9
+        if roll == 0:
+            lines.insert(0, boiler[0])            # hot at doc start
+        elif roll == 1:
+            lines.append(boiler[1])               # hot at doc end
+        elif roll == 2:
+            lines = [boiler[2]] + lines + [boiler[2]]  # empty line, twice
+        elif roll == 3:
+            lines = [boiler[0], boiler[1]]        # all-boilerplate doc
+        elif roll == 4 and lines:
+            lines = lines + [lines[0], lines[0]]  # in-doc repeat, df = 1
+        elif roll == 5:
+            lines = []                            # empty doc -> ''
+        docs.append((i, "\n".join(lines)))
+    docs.append((1000, None))                     # NULL text -> ''
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    base = drop_duplicate_lines(sdf, "doc_id", "text", max_line_df=3)
+    got = {
+        r.doc_id: (r.clean_text, r.n_lines, r.n_kept) for r in base.collect()
+    }
+    salted = {
+        r.doc_id: (r.clean_text, r.n_lines, r.n_kept)
+        for r in drop_duplicate_lines(
+            sdf, "doc_id", "text", max_line_df=3, hot_join_salts=8
+        ).collect()
+    }
+    assert salted == got
+
+    pdf = pd.DataFrame(
+        {"doc_id": [i for i, _ in docs], "text": [t for _, t in docs]}
+    )
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            """
+            WITH base AS (
+              SELECT doc_id, COALESCE(text, '') AS text FROM docs
+            ),
+            lines AS (
+              SELECT doc_id,
+                     UNNEST(STRING_SPLIT(text, CHR(10))) AS line,
+                     generate_subscripts(STRING_SPLIT(text, CHR(10)), 1) - 1
+                       AS pos
+              FROM base
+            ),
+            hot AS (
+              SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)
+              GROUP BY line HAVING COUNT(*) > 3
+            ),
+            kept AS (
+              SELECT * FROM lines
+              WHERE line NOT IN (SELECT line FROM hot)
+            ),
+            rebuilt AS (
+              SELECT doc_id,
+                     ARRAY_TO_STRING(LIST(line ORDER BY pos), CHR(10))
+                       AS clean_text,
+                     COUNT(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            ),
+            totals AS (
+              SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id
+            )
+            SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+                   CAST(t.n_lines AS BIGINT), CAST(COALESCE(r.n_kept, 0) AS BIGINT)
+            FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+            """
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    mism = {i: (got[i], want[i]) for i in got if got[i] != want[i]}
+    assert not mism, dict(list(mism.items())[:3])
+    # non-vacuous: hot lines were stripped somewhere, all-boilerplate docs
+    # survive as empty rows, and the NULL-text doc is one empty-doc row
+    assert any(g[2] < g[1] for g in got.values())
+    assert all(got[i] == ("", 2, 0) for i in range(3, 90, 9))
+    assert got[1000] == ("", 1, 0)
+
+
 def test_cohort_retention_matches_duckdb_on_random_events(spark):
     """B44: cohort_retention(week) == the s1 'retention' branch DuckDB
     formulation on random events — users whose first event lands near
