@@ -995,30 +995,96 @@ def c8_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 'pour','une','avec'], x))) AS s_fr,
         REGEXP_MATCHES(text, '[一-鿿]') AS has_cjk
       FROM documents
+    ),
+    lang AS (
+      SELECT pred_lang, COUNT(*) AS n FROM (
+        SELECT CASE WHEN has_cjk THEN 'zh'
+                    WHEN GREATEST(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                    WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr) THEN 'en'
+                    WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr) THEN 'de'
+                    WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr) THEN 'es'
+                    WHEN s_fr = GREATEST(s_en, s_de, s_es, s_fr) THEN 'fr'
+                    ELSE 'und' END AS pred_lang -- NULL text -> 'und' like Spark
+        FROM scored
+      )
+      GROUP BY pred_lang
+    ),
+    toksd AS (
+      SELECT source,
+             LIST_FILTER(STRING_SPLIT_REGEX(COALESCE(text, ''), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    tri AS (
+      SELECT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM toksd, UNNEST(generate_series(1, len(t) - 2)) AS gi(i)
+      WHERE len(t) >= 3
+    ),
+    dtotals AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(GREATEST(len(t) - 2, 0)) AS BIGINT) AS total_ngrams
+      FROM toksd GROUP BY source
+    ),
+    dtypes AS (
+      SELECT source, COUNT(DISTINCT g) AS distinct_ngrams
+      FROM tri GROUP BY source
     )
-    SELECT pred_lang, COUNT(*) AS n FROM (
-      SELECT CASE WHEN has_cjk THEN 'zh'
-                  WHEN GREATEST(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
-                  WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr) THEN 'en'
-                  WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr) THEN 'de'
-                  WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr) THEN 'es'
-                  WHEN s_fr = GREATEST(s_en, s_de, s_es, s_fr) THEN 'fr'
-                  ELSE 'und' END AS pred_lang -- NULL text falls to 'und' like Spark
-      FROM scored
-    )
-    GROUP BY pred_lang
+    SELECT 'lang' AS branch, pred_lang AS grp, n AS n_docs,
+           CAST(NULL AS BIGINT) AS total_ngrams,
+           CAST(NULL AS BIGINT) AS distinct_ngrams,
+           CAST(NULL AS DOUBLE) AS ttr
+    FROM lang
+    UNION ALL
+    SELECT 'diversity' AS branch, t.source AS grp, t.n_docs, t.total_ngrams,
+           COALESCE(ty.distinct_ngrams, 0) AS distinct_ngrams,
+           CASE WHEN t.total_ngrams > 0
+                THEN ROUND(ty.distinct_ngrams * 1.0 / t.total_ngrams, 4)
+           END AS ttr
+    FROM dtotals t
+    LEFT JOIN dtypes ty ON t.source IS NOT DISTINCT FROM ty.source
     """,
-    survey_ref="§2 B13 language-ID heuristic histogram (marker-word argmax, "
-    "ties resolved in en>de>es>fr order on both engines)",
+    survey_ref="§2 B13 language-ID heuristic histogram ('lang' branch: "
+    "marker-word argmax, ties resolved in en>de>es>fr order on both "
+    "engines) + north-star corpus diversity report ('diversity' branch, "
+    "operators/diversity.py: per-source exact trigram type/token counts "
+    "and TTR — the corpus-level dedup-effectiveness / data-mixing "
+    "instrument; every count exact so DuckDB replays it bit-for-bit)",
 )
 def c11_lang_id_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged pack. 'lang' branch: marker-word language-ID histogram.
+    'diversity' branch: per-source n-gram diversity (n_docs, total
+    trigram occurrences, distinct trigrams, type-token ratio) — row-local
+    n-gram build, one corpus-volume distinct whose scaled exchange keys
+    on the n-gram alone (subset-key rule), two map-side-combined group
+    aggregates."""
+    from ..operators.diversity import corpus_diversity
+
     docs = _docs(spark, sf_dir)
-    return (
+    nulls = [
+        F.lit(None).cast("long").alias("total_ngrams"),
+        F.lit(None).cast("long").alias("distinct_ngrams"),
+        F.lit(None).cast("double").alias("ttr"),
+    ]
+    lang = (
         docs.select(TX.lang_id("text").alias("pred_lang"))
         .groupBy("pred_lang")
-        .agg(F.count("*").alias("n"))
-        .orderBy("pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            F.lit("lang").alias("branch"),
+            F.col("pred_lang").alias("grp"),
+            "n_docs",
+            *nulls,
+        )
     )
+    div = corpus_diversity(docs, group_col="source", k=3).select(
+        F.lit("diversity").alias("branch"),
+        F.col("source").alias("grp"),
+        "n_docs",
+        "total_ngrams",
+        "distinct_ngrams",
+        "ttr",
+    )
+    return lang.unionByName(div)
 
 
 #: Planted near-dup clone groups for the c17 leakage branch — invented

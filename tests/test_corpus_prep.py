@@ -415,6 +415,55 @@ def test_quantization_matches_duckdb_on_random_vectors(spark):
 # -------------------------------------------------------- line-level dedup
 
 
+def test_corpus_diversity_counts_types_and_tokens(spark):
+    """Per-group trigram type/token stats: repeated trigrams count once as
+    types, every occurrence as tokens; sub-k docs contribute zero grams
+    but still count as docs; NULL text and a NULL group are real rows."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.diversity import (
+        corpus_diversity,
+    )
+
+    rows = [
+        (1, "a b c d", "web"),      # grams: 'a b c', 'b c d'
+        (2, "a b c", "web"),        # gram:  'a b c' (duplicate type)
+        (3, "x y", "web"),          # sub-k: 0 grams, still a doc
+        (4, "p q r", "books"),
+        (5, None, "books"),         # NULL text -> 0 grams
+        (6, "m n o", None),         # NULL group is a real group
+    ]
+    out = {
+        r[0]: r[1:]
+        for r in (
+            (r["source"], r["n_docs"], r["total_ngrams"],
+             r["distinct_ngrams"], r["ttr"])
+            for r in corpus_diversity(
+                spark.createDataFrame(
+                    rows, "doc_id long, text string, source string"
+                ),
+                group_col="source",
+            ).collect()
+        )
+    }
+    assert out["web"] == (3, 3, 2, round(2 / 3, 4))
+    assert out["books"] == (2, 1, 1, 1.0)
+    assert out[None] == (1, 1, 1, 1.0)
+
+
+def test_corpus_diversity_all_subk_group_reports_null_ttr(spark):
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.diversity import (
+        corpus_diversity,
+    )
+
+    rows = [(1, "one two", "tiny"), (2, "", "tiny")]
+    (r,) = corpus_diversity(
+        spark.createDataFrame(rows, "doc_id long, text string, source string"),
+        group_col="source",
+    ).collect()
+    assert (r["n_docs"], r["total_ngrams"], r["distinct_ngrams"], r["ttr"]) == (
+        2, 0, 0, None,
+    )
+
+
 def test_line_dedup_strips_hot_lines_preserves_order(spark):
     from aws_snowflake_kinesis_airflow_pipeline_spark.operators.linedup import (
         drop_duplicate_lines,

@@ -97,7 +97,9 @@ def _ops(spark, d):
         )
 
         normed = docs.select("doc_id", normalize_text("text").alias("text"))
-        exact = dedup.exact_dedup(normed, key_cols=["text"], id_col="doc_id")
+        exact = dedup.exact_dedup(
+            normed, key_cols=["text"], id_col="doc_id", unique_ids=True
+        )
         spanless = remove_duplicate_spans(exact, window=8, max_df=4).select(
             "doc_id", F.col("clean_text").alias("text")
         )
@@ -187,6 +189,18 @@ def _ops(spark, d):
         "tfidf": lambda: _searchops().tf_idf_vectors(docs(), vocab_size=1000),
         "encode": lambda: _encops().encode_documents(
             docs(), _encops().build_vocab(docs(), vocab_size=64)
+        ),
+        "diversity": lambda: __import__(
+            "aws_snowflake_kinesis_airflow_pipeline_spark.operators.diversity",
+            fromlist=["corpus_diversity"],
+        ).corpus_diversity(
+            spread(
+                spark.read.parquet(f"{d}/documents.parquet").select(
+                    "doc_id", "text", "source"
+                ),
+                "doc_id",
+            ),
+            group_col="source",
         ),
         "line": lambda: drop_duplicate_lines(
             docs(), "doc_id", "text", max_line_df=3, line_sep="\n"
