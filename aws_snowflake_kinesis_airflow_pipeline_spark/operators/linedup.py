@@ -28,6 +28,16 @@ No step is ever pair-quadratic and no driver-side collection exists at any
 size. At 100 TB the df pass would typically hash the line (16-byte
 fingerprint) instead of shuffling line bodies; kept as text here because
 the operator's oracle covers every byte of the rebuilt documents.
+
+Residual skew note: when the auto-sizing guard fires, the line-keyed
+exchange routes ALL occurrences of one viral line to a single partition
+(the explicit repartition sits below the distinct, so map-side partial
+dedup no longer thins them first). The reducer's STATE stays small (the
+dedup map holds one entry per document carrying the line), so this is a
+CPU straggler bounded by that line's occurrence count, not an OOM — and
+the alternative (keeping the distinct's own (id, line)-keyed exchange)
+needs a second scaled corpus exchange for the groupBy(line), doubling
+shuffle volume to dodge a bounded straggler. Deliberately not taken.
 """
 
 from __future__ import annotations
