@@ -662,11 +662,29 @@ def ngram_jaccard_pairs(
             ).localCheckpoint()
         else:
             cand_sets = per_doc_sets.join(ids, id_col, "left_semi")
-        s1 = cand_sets.select(
-            F.col(id_col).alias("id1"), F.col("hs").alias("hs1")
+        # _scaled_repartition on the set-bearing sides: the SHJ below
+        # BUILDS these rows (one shingle array per candidate doc) fully
+        # in memory per partition, and at 50 M docs the session/AQE
+        # partition count left each build in the hundreds of MB — the
+        # stacked builds plus the consumer stage's own state (connected
+        # components' union+distinct+checkpoint runs in the SAME tasks)
+        # was a measured 32 g OOM. Scaling the exchange to input bytes
+        # splits the builds ~100x; explicit partition counts are exempt
+        # from AQE coalescing, and the candidates side co-partitions to
+        # match. No-op at bench SFs (plans byte-identical).
+        s1 = _scaled_repartition(
+            cand_sets.select(
+                F.col(id_col).alias("id1"), F.col("hs").alias("hs1")
+            ),
+            "id1",
+            source=df,
         )
-        s2 = cand_sets.select(
-            F.col(id_col).alias("id2"), F.col("hs").alias("hs2")
+        s2 = _scaled_repartition(
+            cand_sets.select(
+                F.col(id_col).alias("id2"), F.col("hs").alias("hs2")
+            ),
+            "id2",
+            source=df,
         )
         # SHUFFLE_HASH, not broadcast: ``candidates`` usually arrives as
         # a checkpointed RDD whose origin stats reflect the PRE-

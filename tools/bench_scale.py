@@ -243,6 +243,20 @@ def main() -> None:
             # sink materializes the full result like a real consumer.
             ops[name]().write.format("noop").mode("overwrite").save()
             walls.append(time.perf_counter() - t0)
+            # Per-rep line so a crashed later rep never loses the
+            # completed ones (a 35-minute 50 M rep is not rerunnable on
+            # a whim).
+            print(f"\n{name:5s} rep {walls[-1]:8.1f} s", flush=True)
+            # Drop the rep's localCheckpoint blocks before the next rep:
+            # ContextCleaner frees them only after BOTH the Python and
+            # JVM references die, and at the 50 M fixture the retained
+            # blocks of a checkpoint-heavy op (near_dup_dedup holds
+            # edges + per-round CC labels) OOM'd rep 2 at 32 g while
+            # rep 1 ran clean. Measured fix, not hygiene.
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
         best = min(walls)
         print(
             f"\n{name:5s} best {best:8.1f} s  "
