@@ -119,8 +119,27 @@ def exact_dedup(
         # never see a document body; the loser set is |rows| - |distinct
         # keys|, so for a mostly-unique corpus the anti-join's right side
         # is tiny and broadcasts (AQE decides from actual size).
+        #
+        # Precondition guard: a NULL id would make `id != min(id)`
+        # evaluate to NULL below, so NULL-id duplicates would silently
+        # survive; fail loudly instead. The when/otherwise wrapping (vs a
+        # droppable assert column) rides the id everywhere it is used, so
+        # column pruning cannot elide the check. Duplicate ids are NOT
+        # runtime-detected (that needs a second corpus aggregation); that
+        # precondition stays the caller's contract, documented above.
+        checked_id = F.when(
+            F.col(id_col).isNotNull(), F.col(id_col)
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "exact_dedup(unique_ids=True): NULL value in id column "
+                    f"'{id_col}' — the fast path requires non-null, "
+                    "globally unique ids; use the default path"
+                )
+            )
+        )
         pairs = df.select(
-            F.col(id_col),
+            checked_id.alias(id_col),
             F.xxhash64(F.lit(0), *keys).alias("_key_fp0"),
             F.xxhash64(F.lit(1), *keys).alias("_key_fp1"),
         )

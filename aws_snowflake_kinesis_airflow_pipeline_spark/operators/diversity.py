@@ -18,9 +18,14 @@ Scale shape: one row-local n-gram build (zip of shifted token-array
 slices — no explode of raw text until the n-grams exist), one
 corpus-volume distinct over (group, ngram) pairs whose scaled exchange is
 keyed on the ngram alone (subset-key rule: equal (group, ngram) implies
-equal ngram, and map-side partial dedup bounds a viral n-gram's exchange
-rows by the map-partition count), and two tiny per-group aggregates that
-combine map-side to ~|groups| rows per partition.
+equal ngram), and two tiny per-group aggregates that combine map-side to
+~|groups| rows per partition. Skew note: when the scaled exchange fires
+it replaces the distinct's own exchange, so no map-side partial dedup
+runs below it — every OCCURRENCE of a viral n-gram routes to one
+partition. The straggler stays bounded because the scaled partition count
+grows with the corpus while one n-gram's occurrences grow sublinearly;
+with the guard off, the distinct's own exchange partial-dedups map-side
+and ships at most one row per (map partition, group, ngram).
 """
 
 from __future__ import annotations

@@ -107,7 +107,13 @@ def drop_duplicate_lines(
     # second, session-default-sized exchange whose per-partition hash map
     # holds one full line text per distinct line — the very OOM shape the
     # guard exists to remove. Hot-line concentration under the line-only
-    # key is bounded: a line's df rows are at most one per document.
+    # key: when the scaled exchange fires it sits BELOW the distinct, so
+    # no map-side partial dedup runs first and EVERY occurrence of a
+    # viral line (including in-doc repeats) hashes to that key's
+    # partition. The straggler stays bounded because the scaled partition
+    # count grows with the corpus while the hot partition's rows grow
+    # with that one line's occurrence count; past that,
+    # hot_join_salts handles the join-side skew.
     hot = (
         _scaled_repartition(lines.select(id_col, "line"), "line", source=df)
         .distinct()

@@ -157,9 +157,12 @@ def salted_left_mark_join(
     single-pass reassembly, which counts total and kept lines in one
     aggregation). Same construction: deterministic row-salt on the left,
     right replicated once per salt, LEFT OUTER join on (key, salt). The
-    right side must be distinct on ``key`` (every caller's right is a
-    groupBy-derived set), so each left row matches at most one replicated
-    row — row-for-row identical to a plain left join + IS NOT NULL flag.
+    right side is deduplicated on ``key`` before replication — a
+    duplicate right key would otherwise duplicate left rows and corrupt
+    downstream counts, and the right side is tiny by contract (a
+    groupBy-derived hot set) so the dropDuplicates costs nothing. Each
+    left row therefore matches at most one replicated row — row-for-row
+    identical to a plain left join + IS NOT NULL flag.
 
     Exists for the same AQE blind spot documented on
     :func:`salted_left_anti_join`: the skew-split rule cannot reach a join
@@ -172,7 +175,7 @@ def salted_left_mark_join(
     salts = F.explode(
         F.array(*[F.lit(i).cast("long") for i in range(n_salts)])
     ).alias("_salt")
-    replicated_right = right.select(
+    replicated_right = right.select(key).dropDuplicates([key]).select(
         F.col(key), salts, F.lit(True).alias(mark_col)
     )
     out = salted_left.join(replicated_right, [key, "_salt"], "left")

@@ -80,7 +80,7 @@ _DIFF_FP_SQL = (
     FROM (
       SELECT doc_id, text, lang FROM documents
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents
+      SELECT doc_id + 1099511627776 AS doc_id, text, lang FROM documents
     )
     GROUP BY text
     UNION ALL
@@ -113,7 +113,12 @@ def c1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import shuffle_hash
 
     docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
-    shifted = docs.withColumn("doc_id", F.col("doc_id") + 1000000)
+    # Shift = 2^40: far beyond any fixture's doc_id range (the largest
+    # derived scale fixture, .scale/sf1000docs, tops out near 5e7), so
+    # the union's ids stay disjoint no matter how fixtures grow — a
+    # colliding shift would silently violate the unique_ids precondition
+    # below and the loser anti-join would drop/keep wrong rows.
+    shifted = docs.withColumn("doc_id", F.col("doc_id") + (1 << 40))
     corpus = docs.union(shifted)
     # unique_ids: the union's ids are disjoint by construction (shift >
     # fixture max), so the narrow-exchange fast path applies — bodies

@@ -350,3 +350,24 @@ def test_encode_decode_roundtrip_property(spark, texts):
     back = {r["doc_id"]: r["text"] for r in decode_ids(enc, vocab).collect()}
     for i, t in rows:
         assert back[i] == " ".join(t.lower().split()), repr(t)
+
+
+def test_exact_dedup_unique_ids_null_id_fails_loudly(spark):
+    """The fast path's precondition (non-null ids) must fail at runtime,
+    not degrade: a NULL id makes `id != min(id)` evaluate to NULL, so
+    NULL-id duplicates would silently survive. The id is wrapped in a
+    when/raise_error that rides every use, so pruning can't elide it."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.dedup import (
+        exact_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "a"), (2, "b")], "doc_id long, text string"
+    )
+    out = exact_dedup(df, key_cols=["text"], id_col="doc_id", unique_ids=True)
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        out.collect()

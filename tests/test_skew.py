@@ -361,3 +361,18 @@ def test_nonpositive_salts_raise(spark):
         # shape as the anti-join keeping everything.
         with pytest.raises(ValueError):
             skew.salted_left_mark_join(df, right, "k", n_salts=n)
+
+
+def test_mark_join_duplicate_right_keys_do_not_duplicate_left(spark):
+    """A duplicate key on the mark join's right side must not fan out
+    left rows (it would inflate linedup's n_lines/n_kept and corrupt
+    clean_text) — the operator dedups the right side before replication."""
+    df = skewed_df(spark)
+    dup_right = (
+        df.filter(F.col("k") == "hot").select("k").distinct().union(
+            df.filter(F.col("k") == "hot").select("k").distinct()
+        )
+    )
+    out = skew.salted_left_mark_join(df, dup_right, "k")
+    assert out.count() == df.count()
+    assert out.filter(F.col("_hot")).count() == 900
