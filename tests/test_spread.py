@@ -318,3 +318,44 @@ def test_scaled_exchanges_preserve_tfidf_and_encoding(spark, sf_dir, monkeypatch
     base = snapshot()
     monkeypatch.setattr(spread_mod, "_EXCHANGE_INPUT_BUDGET", 64)
     assert snapshot() == base
+
+
+def test_tfidf_pin_drops_checkpoint_at_scale(spark, sf_dir, monkeypatch):
+    """The round-11 fix for the 50 M-doc tf-idf OOM: at bench SFs the
+    (doc, term, tf) postings pin is a localCheckpoint; when the exchange
+    guard fires, the checkpoint is DROPPED and the term-keyed scaled
+    exchange's shuffle files are the pin — a corpus-sized checkpoint
+    builds whole postings partitions in block-manager memory (the
+    demonstrated 32 GiB OOM, BASELINE.md round-10). The one scaled
+    exchange must serve BOTH downstream aggregations (subset-key rule:
+    (id, term) and term), so no session-default exchange may appear."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators.search import (
+        tf_idf_vectors,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # Guard off: checkpoint pin present (ExistingRDD scan in the plan).
+    bench_plan = (
+        tf_idf_vectors(docs, vocab_size=50)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ExistingRDD" in bench_plan
+
+    # Guard on: no checkpoint anywhere, and every hash exchange in the
+    # plan is the scaled term-keyed one (possibly printed once per
+    # consumer pre-reuse) — a session-default-sized exchange here means
+    # an aggregation stopped being served by the scaled exchange.
+    monkeypatch.setattr(spread_mod, "_EXCHANGE_INPUT_BUDGET", 64)
+    n = exchange_partitions(docs)
+    assert n is not None
+    out = tf_idf_vectors(docs, vocab_size=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan
+    import re
+
+    sizes = {
+        int(m.group(1))
+        for m in re.finditer(r"Exchange hashpartitioning\([^)]*, (\d+)\)", plan)
+    }
+    assert sizes == {n}, (sizes, n, plan[:3000])
