@@ -200,25 +200,90 @@ _EXACT_JACCARD_PAIRS_SQL = f"""
     SELECT id1, id2, jaccard FROM jpairs
 """
 
+#: Seed of the portable-md5 half split the c2 'incremental' branch uses to
+#: partition documents into (indexed corpus, new batch).
+_INC_SEED = 17
+
 
 @register(
     "c2_minhash_lsh_near_dups",
-    oracle=_EXACT_JACCARD_PAIRS_SQL,
+    oracle=f"""
+    WITH {exact_jaccard_pairs_ctes()},
+    half AS (
+      SELECT doc_id,
+             CAST(CONCAT('0x',
+                    SUBSTR(md5(CONCAT('{_INC_SEED}:', CAST(doc_id AS VARCHAR))), 1, 8))
+                  AS UBIGINT) % 2 AS h
+      FROM documents
+    )
+    SELECT 'pairs' AS branch, id1, id2, jaccard FROM jpairs
+    UNION ALL
+    SELECT 'incremental' AS branch, p.id1, p.id2, p.jaccard
+    FROM jpairs p
+    JOIN half h1 ON p.id1 = h1.doc_id
+    JOIN half h2 ON p.id2 = h2.doc_id
+    WHERE NOT (h1.h = 0 AND h2.h = 0)
+    """,
     survey_ref="§2 B11 MinHash+LSH near-dup (shingle→minhash→band→bucket "
     "join); oracle = the exact-Jaccard pair set, which the LSH path must "
     "reproduce because candidates are exact-verified and banded recall on "
     "the fixture is deterministically 1.0 (pinned by "
-    "test_minhash_matches_exact_jaccard_on_fixture)",
+    "test_minhash_matches_exact_jaccard_on_fixture) + §2 B22 incremental "
+    "MinHash-index dedup ('incremental' branch: persist the index for a "
+    "portable-md5-selected half, probe with the other half — the probe's "
+    "pair set must equal every exact-Jaccard pair with >=1 endpoint in "
+    "the batch half, i.e. the reference's hourly NOT-IN dedup lifted to "
+    "near-dup granularity, value-checked end-to-end)",
 )
 def c2_minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH near-dup pairs, hash-checked against ground truth: false
-    positives are impossible (every candidate is exact-verified) and the
-    16x4 banding's miss probability at jaccard 0.8 is ~2e-4 per pair under
-    deterministic hashing — zero misses on the fixtures (verified at
-    sf0.01 and sf0.1), so the oracle is the plain exact-Jaccard SQL."""
-    return dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", threshold=0.8
-    ).orderBy("id1", "id2")
+    """Tagged near-dup pack. 'pairs' branch: LSH near-dup pairs over the
+    full fixture, hash-checked against ground truth — false positives are
+    impossible (every candidate is exact-verified) and the 16x4 banding's
+    miss probability at jaccard 0.8 is ~2e-4 per pair under deterministic
+    hashing; zero misses on the fixtures (verified at sf0.01 and sf0.1),
+    so the oracle is the plain exact-Jaccard SQL.
+
+    'incremental' branch (operators/incremental.py, B22): the persisted-
+    index lifecycle run INSIDE the query — write the MinHash index
+    (band-bucket store + hive-bucketed shingle sets) for the portable-md5
+    half-0 documents to a temp path, then probe it with the half-1 batch.
+    The probe's pairs (batch-vs-corpus via the broadcast bucket join +
+    batch-vs-batch via grouped emission) must equal the exact-Jaccard
+    pairs with at least one endpoint in the batch — the same recall
+    argument as the 'pairs' branch, now through the on-disk index and
+    partition-pruned set fetches. This is the reference's hourly
+    INSERT..NOT IN dedup (airflow/dags/snowflake_data_pipeline.py:128-146)
+    lifted to near-dup granularity, as a fully value-checked driver row.
+    """
+    import tempfile
+
+    from ..operators import incremental
+    from ..operators.sampling import shuffle_hash
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    pairs_branch = pairs.select(
+        F.lit("pairs").alias("branch"), "id1", "id2", "jaccard"
+    )
+
+    half = shuffle_hash(F.col("doc_id"), seed=_INC_SEED, portable=True) % 2
+    indexed = docs.filter(half == 0)
+    batch = docs.filter(half == 1)
+    # Temp index path per invocation: the returned plan reads these
+    # parquet files lazily, so the directory must outlive the caller's
+    # collect — a per-run mkdtemp (OS-reclaimed /tmp) rather than an
+    # eagerly deleted context.
+    path = tempfile.mkdtemp(prefix="c2_incremental_index_")
+    incremental.write_minhash_index(indexed, "doc_id", "text", path)
+    inc = incremental.incremental_near_dup_pairs(
+        spark, batch, "doc_id", "text", path, threshold=0.8
+    )
+    inc_branch = inc.select(
+        F.lit("incremental").alias("branch"), "id1", "id2", "jaccard"
+    )
+    return pairs_branch.unionByName(inc_branch).orderBy(
+        "branch", "id1", "id2"
+    )
 
 
 @register(
