@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .dedup import connected_components
 from .similarity import ivf_index
+from .spread import scaled_repartition as _scaled_repartition
 
 
 def semantic_dedup_pairs(
@@ -109,10 +110,22 @@ def semantic_dedup_pairs(
     # group whose ragged tolist() kills np.linalg.norm — the sibling
     # embedding operators degrade gracefully on the same inputs, and an
     # invalid vector can never be a semantic duplicate anyway.
-    return (
-        indexed.filter(F.col("ivf_cluster").isNotNull())
-        .groupBy("ivf_cluster")
-        .applyInPandas(per_cluster, "id1 long, id2 long, cosine double")
+    #
+    # The per-cell exchange is the one corpus-volume shuffle here and it
+    # carries FULL vectors (4·dim bytes/row), so it auto-sizes to the
+    # input like every other corpus-volume exchange (spread.py; the
+    # embedding_near_dup_pairs precedent, dedup.py): a session-default
+    # partition count would build whole-corpus-fraction pandas groups in
+    # memory at 10x+ the bench SF. Sized from ``df``'s file lineage —
+    # when the caller hands in a checkpointed ``indexed``, df is still
+    # the file-backed original; no-op at bench SFs.
+    cells = _scaled_repartition(
+        indexed.filter(F.col("ivf_cluster").isNotNull()),
+        "ivf_cluster",
+        source=df,
+    )
+    return cells.groupBy("ivf_cluster").applyInPandas(
+        per_cluster, "id1 long, id2 long, cosine double"
     )
 
 

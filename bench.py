@@ -52,6 +52,23 @@ BRANCH_SPLITS = {
     "c26_line_dedup": ("branch", ("line", "span")),
     "c22_doc_chunks": ("op", ("chunk", "encode")),
     "c15_cosine_topk_ivf": ("op", ("ivf", "pq", "semdedup")),
+    "c2_minhash_lsh_near_dups": ("branch", ("pairs", "incremental")),
+    "c11_lang_id_histogram": ("branch", ("lang", "diversity")),
+    "c17_train_val_split": ("branch", ("plain", "leakage")),
+    "s1_window_counts": (
+        "op",
+        (
+            "tumbling",
+            "sliding",
+            "interval_join",
+            "trending",
+            "mad_outliers",
+            "mad_outliers_approx_ok",
+            "funnel",
+            "retention",
+            "transition",
+        ),
+    ),
 }
 
 def suite_of(q) -> str:

@@ -18,6 +18,7 @@ are the scale knob — which is also the honest cluster story.
 
 Usage: python tools/bench_scale.py <dir> [op ...] [--reps N]
        ops: c1 c2 c3 c4 c5 c8 c16 line span tfidf encode chain
+            ivf pq semdedup
             retention transition funnel tumbling session
        (default: c2 c16 span; c5 needs embeddings.parquet in the dir,
        the event ops need events.parquet, the rest need documents)
@@ -159,6 +160,61 @@ def _ops(spark, d):
             "vec_id",
         )
 
+    # ANN family (c15's registered shapes minus plants/needle/exact-scan
+    # plumbing): cells sized at the SemDeDup granularity (rows/500, the
+    # paper's rule), 20k-row bounded fits, probe fraction 3/8 — the same
+    # knobs the driver checks at bench SFs.
+    def _ann_qvec(e):
+        from pyspark.sql import functions as F
+
+        return [
+            float(x)
+            for x in e.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+
+    def _ann_ivf():
+        from aws_snowflake_kinesis_airflow_pipeline_spark.operators import similarity
+
+        e = emb()
+        n_clusters = max(16, e.count() // 500)
+        model, indexed = similarity.ivf_index(
+            e, "embedding", n_clusters=n_clusters, max_fit_rows=20_000
+        )
+        return similarity.ivf_topk(
+            model,
+            indexed,
+            "embedding",
+            "vec_id",
+            _ann_qvec(e),
+            k=10,
+            n_probe=max(3, round(n_clusters * 3 / 8)),
+        )
+
+    def _ann_pq():
+        from aws_snowflake_kinesis_airflow_pipeline_spark.operators import pq
+
+        e = emb()
+        model = pq.pq_fit(
+            e, "embedding", m=16, n_codes=16, dim=64, max_fit_rows=20_000
+        )
+        encoded = pq.pq_encode(e, "embedding", model)
+        return pq.pq_topk(model, encoded, "vec_id", _ann_qvec(e), k=10)
+
+    def _ann_semdedup():
+        from aws_snowflake_kinesis_airflow_pipeline_spark.operators.semdedup import (
+            semantic_dedup_pairs,
+        )
+
+        e = emb()
+        return semantic_dedup_pairs(
+            e,
+            "vec_id",
+            "embedding",
+            n_clusters=max(16, e.count() // 500),
+            threshold=0.95,
+            max_fit_rows=20_000,
+        )
+
     # Registered configurations (plans/llm_suite.py), minus planted rows —
     # the decades measure corpus behavior, not fixture plumbing. Frames
     # load lazily so a documents-only or embeddings-only scale dir works.
@@ -178,6 +234,9 @@ def _ops(spark, d):
         "c5": lambda: dedup.embedding_near_dup_pairs(
             emb(), "vec_id", "embedding", threshold=0.9
         ),
+        "ivf": lambda: _ann_ivf(),
+        "pq": lambda: _ann_pq(),
+        "semdedup": lambda: _ann_semdedup(),
         "retention": lambda: _evops().cohort_retention(ev(), period="week"),
         "transition": lambda: _evops().event_transitions(ev()),
         "funnel": lambda: _evops().funnel_conversion(
