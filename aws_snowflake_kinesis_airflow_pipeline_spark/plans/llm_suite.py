@@ -1759,6 +1759,14 @@ def c21_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COALESCE(a.n_tokens, 0) AS INT) AS chunk_n_tokens,
            md5(COALESCE(ARRAY_TO_STRING(a.ids, ' '), '')) AS chunk_fp
     FROM documents d LEFT JOIN agg a USING (doc_id)
+    UNION ALL
+    SELECT 'bpe' AS op, rank AS doc_id,
+           CAST(NULL AS INT) AS chunk_idx, CAST(NULL AS INT) AS chunk_start,
+           CAST(n AS INT) AS chunk_n_tokens, fp AS chunk_fp
+    FROM (VALUES (1, 2, 'e|s'), (2, 3, 'es|t'), (3, 7, 'est|</w>'),
+                 (4, 2, 'l|o'), (5, 3, 'lo|w'), (6, 2, 'e|w'),
+                 (7, 9, 'ew|est</w>'), (8, 10, 'n|ewest</w>'))
+         AS bpe(rank, n, fp)
     """,
     survey_ref="§2 B26 document chunking ('chunk' branch: overlapping "
     "token windows, 24-token chunks / 8-token overlap; oracle replays the "
@@ -1768,10 +1776,14 @@ def c21_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "counts, and a decode→re-encode round-trip invariant the oracle pins "
     "to 1 on a deterministic 256-doc portable-md5 sample both engines "
     "name identically — in-vocab ids survive the round trip by vocab "
-    "identity, OOV positions re-encode to UNK by construction)",
+    "identity, OOV positions re-encode to UNK by construction) + BPE "
+    "merge-rule induction ('bpe' branch: the full fit pipeline over a "
+    "planted Sennrich corpus whose 8-merge sequence is hand-derived, so "
+    "the oracle's literal rows are ground truth; hypothesis replay vs "
+    "the paper pseudocode covers arbitrary corpora in tests/test_bpe.py)",
 )
 def c22_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-branch pack.
+    """Three-branch pack.
 
     'chunk': every document exploded into overlapping 24-token windows —
     chunk offsets, lengths, and md5 window fingerprints, so the driver
@@ -1853,7 +1865,46 @@ def c22_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("int").alias("chunk_n_tokens"),
         F.md5(ids_str(F.col("token_ids"))).alias("chunk_fp"),
     )
-    return chunks.unionByName(encode_branch)
+
+    # 'bpe' branch (operators/bpe.py, the tokenizer-training seam): the
+    # full Spark fit pipeline (tokenize → word-count aggregation →
+    # bounded collect → driver merge loop) run INSIDE the query over a
+    # PLANTED corpus whose merge sequence is hand-derivable (the classic
+    # Sennrich low/lower/newest/widest example; derivation in
+    # tests/test_bpe.py) — so the oracle's literal rows are ground truth,
+    # not an implementation echo, and the driver hash covers the operator
+    # end-to-end at every SF identically. Fixture-corpus behavior is
+    # pytest territory (hypothesis replay vs the paper pseudocode): a BPE
+    # loop is not SQL-expressible, which is exactly why the driver row
+    # pins the planted analytic case. Columns: doc_id = 1-based merge
+    # rank, chunk_n_tokens = merged-symbol length, chunk_fp =
+    # 'left|right'.
+    from ..operators.bpe import induce_bpe_merges
+
+    planted_text = " ".join(
+        [w for w, c in
+         (("low", 5), ("lower", 2), ("newest", 6), ("widest", 3))
+         for _ in range(c)]
+    )
+    planted = spark.createDataFrame(
+        [(1, planted_text)], "doc_id long, text string"
+    ).repartition(1)
+    merges = induce_bpe_merges(planted, n_merges=8)
+    bpe_branch = spark.createDataFrame(
+        [
+            (rank + 1, len(a + b), f"{a}|{b}")
+            for rank, (a, b) in enumerate(merges)
+        ],
+        "doc_id long, chunk_n_tokens int, chunk_fp string",
+    ).repartition(1).select(
+        F.lit("bpe").alias("op"),
+        "doc_id",
+        F.lit(None).cast("int").alias("chunk_idx"),
+        F.lit(None).cast("int").alias("chunk_start"),
+        "chunk_n_tokens",
+        "chunk_fp",
+    )
+    return chunks.unionByName(encode_branch).unionByName(bpe_branch)
 
 
 @register(

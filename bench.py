@@ -50,7 +50,7 @@ HEADLINE = (
 #: charged to every branch — read the splits as relative shares.
 BRANCH_SPLITS = {
     "c26_line_dedup": ("branch", ("line", "span")),
-    "c22_doc_chunks": ("op", ("chunk", "encode")),
+    "c22_doc_chunks": ("op", ("chunk", "encode", "bpe")),
     "c15_cosine_topk_ivf": ("op", ("ivf", "pq", "semdedup")),
     "c2_minhash_lsh_near_dups": ("branch", ("pairs", "incremental")),
     "c11_lang_id_histogram": ("branch", ("lang", "diversity")),
