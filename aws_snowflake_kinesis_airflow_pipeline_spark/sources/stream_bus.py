@@ -11,10 +11,10 @@ contract (key = partition key = user_id, value = JSON event — reference
 scripts/kinesis_data_producer.py:39-46) is exactly
 ``rate_events.keyed_for_stream_sink``'s output, tested there.
 
-Vendoring attempt (round 6; re-attempted rounds 7, 8 and 9, same result):
-the container has no network (DNS resolution fails for both Maven Central
-and the pip index) and ships no kafka/delta jars anywhere on disk (full
-filesystem sweep), so the connector cannot be added here. What IS tested offline: the producer→consumer data plane
+Vendoring attempt (round 6; re-attempted rounds 7, 8, 9 and 11, same
+result): the container has no network (DNS resolution fails for both
+Maven Central and the pip index) and ships no kafka/delta jars anywhere
+on disk (full filesystem sweep), so the connector cannot be added here. What IS tested offline: the producer→consumer data plane
 end-to-end (``decode_bus_frames`` round-trips ``keyed_for_stream_sink``
 frames byte-for-byte in test_stream_bus), and the connector wiring fails
 fast with an actionable error. On a real cluster the only untested code

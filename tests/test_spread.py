@@ -359,3 +359,26 @@ def test_tfidf_pin_drops_checkpoint_at_scale(spark, sf_dir, monkeypatch):
         for m in re.finditer(r"Exchange hashpartitioning\([^)]*, (\d+)\)", plan)
     }
     assert sizes == {n}, (sizes, n, plan[:3000])
+
+
+def test_exchange_partitions_through_union_with_local_relation(
+    spark, sf_dir, monkeypatch
+):
+    """The c17/c15 input shape: a parquet scan unionByName'd with a tiny
+    local relation (planted rows). inputFiles() must surface the scan's
+    files THROUGH the union so the guard still sizes from corpus bytes —
+    if a union ever hid the file lineage, every planted-row query would
+    silently fall back to the session default at scale (the OOM shape
+    the guard exists to remove)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    local = spark.createDataFrame(
+        [(999_999_001, "planted row")], "doc_id long, text string"
+    )
+    u = docs.unionByName(local)
+    assert u.inputFiles()  # file lineage visible through the union
+    monkeypatch.setattr(spread_mod, "_EXCHANGE_INPUT_BUDGET", 64)
+    n_docs = exchange_partitions(docs)
+    n_union = exchange_partitions(u)
+    assert n_docs is not None
+    # The local relation contributes no file bytes: same scaled count.
+    assert n_union == n_docs
