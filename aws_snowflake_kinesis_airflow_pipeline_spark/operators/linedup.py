@@ -57,6 +57,7 @@ def drop_duplicate_lines(
     max_line_df: int = 3,
     line_sep: str = "\n",
     hot_join_salts: int = 0,
+    fingerprint_lines: bool = False,
 ) -> DataFrame:
     """Remove every line whose document frequency exceeds ``max_line_df``.
 
@@ -77,7 +78,24 @@ def drop_duplicate_lines(
     broadcast, pass ``hot_join_salts`` > 0 to shard each hot key across
     that many partitions via ``skew.salted_left_mark_join`` —
     row-identical output, pinned by test.
+
+    ``fingerprint_lines=True`` — the module docstring's 100 TB form made
+    real (round-11): the df pass shuffles 16-byte line fingerprints
+    (two seeded xxhash64s) instead of line bodies, hot occurrences
+    reduce to per-document POSITION lists (small: a doc's boilerplate
+    count), and the document text itself moves through exactly ONE
+    exchange (the position join-back) before a row-local rebuild —
+    split → filter-by-index → array_join — replaces the collect_list
+    reassembly of line structs entirely. Row-identical to the default
+    path up to 128-bit fingerprint collisions (below hardware-error
+    probability; property-pinned in tests). ``hot_join_salts`` does not
+    apply here: the hot side is a fingerprint set that AQE broadcasts
+    from actual size, and a broadcast join has no skewable exchange.
     """
+    if fingerprint_lines:
+        return _drop_duplicate_lines_fp(
+            df, id_col, text_col, max_line_df, line_sep
+        )
     # coalesce: split(NULL) is NULL and posexplode of NULL emits no rows,
     # which would drop NULL-text documents from the output entirely —
     # the contract is one row per input document, clean_text = ''.
@@ -154,4 +172,77 @@ def drop_duplicate_lines(
             F.count("*").alias("n_lines"),
             F.count(F.when(keep, F.lit(1))).alias("n_kept"),
         )
+    )
+
+
+def _drop_duplicate_lines_fp(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_line_df: int,
+    line_sep: str,
+) -> DataFrame:
+    """Fingerprint form of :func:`drop_duplicate_lines` (see its
+    ``fingerprint_lines`` doc): line bodies never enter any exchange.
+
+    Plan: (1) row-local split + posexplode projected to (id, pos, fp0,
+    fp1) — 28 bytes/row; (2) one scaled fingerprint-keyed exchange
+    serves the per-document distinct AND the df count (subset-key rule,
+    the text path's shape at 1/50th the bytes); (3) hot fingerprints
+    (small) broadcast-join the narrow projection, hot OCCURRENCES group
+    to one (id, sorted pos list) row per affected document; (4) the
+    original scan joins those position lists on one id-keyed scaled
+    exchange and rebuilds clean_text row-locally with
+    filter-by-index + array_join. Exchange budget: one narrow
+    fingerprint exchange + one small position-list exchange + one text
+    exchange — the text path pays TWO text-volume exchanges.
+    """
+    sep = F.lit(re.escape(line_sep))
+    arr_of = lambda c: F.split(  # noqa: E731 — local plan fragment
+        F.coalesce(c, F.lit("")), sep, -1
+    )
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(arr_of(F.col(text_col))).alias("pos", "_line"),
+    )
+    fps = lines.select(
+        id_col,
+        "pos",
+        F.xxhash64(F.lit(0), "_line").alias("_fp0"),
+        F.xxhash64(F.lit(1), "_line").alias("_fp1"),
+    )
+    hot = (
+        _scaled_repartition(
+            fps.select(id_col, "_fp0", "_fp1"), "_fp0", "_fp1", source=df
+        )
+        .distinct()
+        .groupBy("_fp0", "_fp1")
+        .agg(F.count("*").alias("_line_df"))
+        .filter(F.col("_line_df") > max_line_df)
+        .select("_fp0", "_fp1")
+    )
+    # Inner join: only hot OCCURRENCES survive (small — each document's
+    # boilerplate line count); the hot set is aggregate-bounded and AQE
+    # broadcasts it from actual size, so this adds no exchange to the
+    # narrow projection.
+    hot_pos = (
+        fps.join(hot, ["_fp0", "_fp1"])
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("_hot_pos"))
+    )
+    # Join-back + row-local rebuild. Both join sides ride scaled id-keyed
+    # exchanges (no-op at bench SFs): the text side is the operator's one
+    # unavoidable text-volume exchange, the position side is small.
+    joined = _scaled_repartition(df, id_col, source=df).join(
+        _scaled_repartition(hot_pos, id_col, source=df), id_col, "left"
+    )
+    arr = arr_of(F.col(text_col))
+    hp = F.coalesce(F.col("_hot_pos"), F.array().cast("array<int>"))
+    return joined.select(
+        F.col(id_col),
+        F.array_join(
+            F.filter(arr, lambda x, i: ~F.array_contains(hp, i)), line_sep
+        ).alias("clean_text"),
+        F.size(arr).cast("long").alias("n_lines"),
+        (F.size(arr) - F.size(hp)).cast("long").alias("n_kept"),
     )

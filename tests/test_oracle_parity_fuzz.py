@@ -657,6 +657,16 @@ def test_line_dedup_matches_duckdb_on_random_corpus(spark):
         ).collect()
     }
     assert salted == got
+    # The fingerprint form (bodies never shuffle) must be row-identical
+    # on the same hostile corpus — same boilerplate, in-doc repeats,
+    # empty and NULL docs.
+    fp = {
+        r.doc_id: (r.clean_text, r.n_lines, r.n_kept)
+        for r in drop_duplicate_lines(
+            sdf, "doc_id", "text", max_line_df=3, fingerprint_lines=True
+        ).collect()
+    }
+    assert fp == got
 
     pdf = pd.DataFrame(
         {"doc_id": [i for i, _ in docs], "text": [t for _, t in docs]}

@@ -264,6 +264,10 @@ def _ops(spark, d):
         "line": lambda: drop_duplicate_lines(
             docs(), "doc_id", "text", max_line_df=3, line_sep="\n"
         ),
+        "linefp": lambda: drop_duplicate_lines(
+            docs(), "doc_id", "text", max_line_df=3, line_sep="\n",
+            fingerprint_lines=True,
+        ),
         "span": lambda: remove_duplicate_spans(
             docs(), "doc_id", "text", window=8, max_df=4
         ),
