@@ -25,9 +25,14 @@ budget as exact dedup:
    second per-document pass and no re-join exists.
 
 No step is ever pair-quadratic and no driver-side collection exists at any
-size. At 100 TB the df pass would typically hash the line (16-byte
-fingerprint) instead of shuffling line bodies; kept as text here because
-the operator's oracle covers every byte of the rebuilt documents.
+size. ``fingerprint_lines=True`` (round-11, the registered scale
+configuration for c26) is the 100 TB form: the df pass shuffles 16-byte
+line fingerprints instead of bodies, hot occurrences reduce to per-doc
+position lists, and the text moves through exactly ONE exchange before a
+row-local rebuild — measured 7.0 → 3.8 s at 5 M docs and 241.4 → 79.8 s
+at 50 M (same sitting). The byte-for-byte oracle is unchanged (output
+identical up to 128-bit collisions); the text form below remains the
+default for body-auditable plans and is property-pinned row-identical.
 
 Residual skew note: when the auto-sizing guard fires, the line-keyed
 exchange routes ALL occurrences of one viral line to a single partition

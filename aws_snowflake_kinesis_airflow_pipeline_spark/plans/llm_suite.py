@@ -2326,12 +2326,19 @@ def c26_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     line_planted = spark.createDataFrame(
         _LINEDUP_PLANTED, "doc_id long, text string"
     ).repartition(1)  # tiny local frame: see the c15 needle note
+    # fingerprint_lines: the round-11 registered scale configuration —
+    # the df pass shuffles 16-byte line fingerprints instead of bodies
+    # and the text moves through exactly ONE exchange (50 M docs: 241.4 s
+    # text form vs 79.8 s fingerprint form, same sitting — BASELINE.md).
+    # Byte-identical output, so the byte-for-byte oracle is unchanged;
+    # the text form stays property-pinned row-identical in the fuzz suite.
     line = drop_duplicate_lines(
         docs.unionByName(line_planted),
         "doc_id",
         "text",
         max_line_df=3,
         line_sep="\n",
+        fingerprint_lines=True,
     ).select(
         F.lit("line").alias("branch"),
         "doc_id",

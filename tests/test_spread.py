@@ -382,3 +382,26 @@ def test_exchange_partitions_through_union_with_local_relation(
     assert n_docs is not None
     # The local relation contributes no file bytes: same scaled count.
     assert n_union == n_docs
+
+
+def test_linedup_fingerprint_form_never_shuffles_line_bodies(
+    spark, sf_dir, monkeypatch
+):
+    """The fingerprint form's contract: no hash exchange is keyed on line
+    text — the df pass rides (fp0, fp1) and the only text-volume exchange
+    is the id-keyed join-back. With the guard forced ON, the fingerprint
+    and join exchanges must sit at the scaled count."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.operators import linedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    monkeypatch.setattr(spread_mod, "_EXCHANGE_INPUT_BUDGET", 64)
+    n = exchange_partitions(docs)
+    out = linedup.drop_duplicate_lines(
+        docs, "doc_id", "text", fingerprint_lines=True
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "line" not in line.split("Exchange")[1][:120] or "_fp" in line
+    assert "_fp0" in plan
+    assert f", {n})" in plan
