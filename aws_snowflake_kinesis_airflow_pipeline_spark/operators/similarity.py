@@ -163,6 +163,21 @@ class IVFModel:
         return list(self._centers)
 
 
+#: Row-block budget for every (rows x centers) distance matrix this
+#: module materializes — fit iterations AND the assignment UDF. The cell
+#: count k grows with the corpus (SemDeDup's rows/500 rule: 40k cells at
+#: 20 M vectors), so an unblocked matrix is k-linear per WORKER: at
+#: 10k-row Arrow batches x 40k cells x 8 B = 3.2 GB x 32 workers — the
+#: measured round-11 kernel OOM kill (dmesg: global oom, java killed
+#: while pandas workers held ~3.6 GB each). Blocking is the dedup
+#: `_bucket_pairs` discipline: more blocks, never more memory.
+_DIST_BLOCK_BYTES = 64 * 2**20  # 64 MB per in-flight distance matrix
+
+
+def _dist_block_rows(k: int) -> int:
+    return max(1, _DIST_BLOCK_BYTES // (8 * max(k, 1)))
+
+
 def _kmeans_fit(
     sample: "np.ndarray", k: int, seed: int, max_iter: int = 25
 ) -> "np.ndarray":
@@ -183,6 +198,25 @@ def _kmeans_fit(
             0.0,
         )
 
+    def assign_blocked(centers: "np.ndarray"):
+        # (assign, own) without ever materializing the full (n, k)
+        # distance matrix: at k = rows/500 cells the unblocked form is
+        # ~n*k*8 bytes per Lloyd iteration (6.4 GB at a 20k sample and
+        # 40k cells — measured driver bloat in the round-11 decade).
+        c_sq = (centers**2).sum(axis=1)
+        assign = np.empty(n, dtype=np.int64)
+        own = np.empty(n, dtype=np.float64)
+        step = _dist_block_rows(len(centers))
+        for s in range(0, n, step):
+            e = min(n, s + step)
+            d2 = np.maximum(
+                sq[s:e, None] - 2.0 * (sample[s:e] @ centers.T) + c_sq, 0.0
+            )
+            a = d2.argmin(axis=1)
+            assign[s:e] = a
+            own[s:e] = d2[np.arange(e - s), a]
+        return assign, own
+
     # k-means++: each next center drawn proportional to D^2 (deterministic
     # under the seeded RNG). With n < k the sample IS the centroid set,
     # padded by repetition so len(clusterCenters()) == k.
@@ -202,9 +236,7 @@ def _kmeans_fit(
 
     d = sample.shape[1]
     for _ in range(max_iter):
-        d2 = dist2_to(centers)
-        assign = d2.argmin(axis=1)
-        own = d2[np.arange(n), assign]  # distance to assigned centroid
+        assign, own = assign_blocked(centers)
         # Vectorized centroid update: per-dimension weighted bincount
         # replaces a per-cluster boolean-mask mean (k mask scans per
         # iteration — measured 5x slower across PQ's m independent fits).
@@ -226,10 +258,15 @@ def _kmeans_fit(
 
 
 def ivf_assign_udf(centers: "np.ndarray"):
-    """Arrow-batched nearest-centroid assignment: one (batch x k) distance
-    matmul per Arrow batch — the same reasoning as hyperplane_buckets_udf
-    (per-row distance loops in interpreted expressions would be ~k*dim
-    multiply-adds per row). NULL / wrong-length vectors get NULL."""
+    """Arrow-batched nearest-centroid assignment: blocked (rows x k)
+    distance matmuls per Arrow batch — numpy matmul for the same reason
+    as hyperplane_buckets_udf (per-row distance loops in interpreted
+    expressions would be ~k*dim multiply-adds per row), ROW-BLOCKED
+    because k grows with the corpus (SemDeDup's rows/500 granularity):
+    an unblocked batch x k matrix is 3.2 GB per worker at 10k-row Arrow
+    batches and 40k cells, and 32 workers of that was the round-11
+    kernel OOM at the 20 M-vector decade. NULL / wrong-length vectors
+    get NULL."""
     C = np.ascontiguousarray(centers, dtype=np.float64)
     k, dim = C.shape
     c_sq = (C**2).sum(axis=1)
@@ -243,7 +280,11 @@ def ivf_assign_udf(centers: "np.ndarray"):
             if v is not None and len(v) == dim:
                 mat[i] = v
                 valid[i] = True
-        best = (-2.0 * (mat @ C.T) + c_sq).argmin(axis=1).astype(np.float64)
+        best = np.empty(n, dtype=np.float64)
+        step = _dist_block_rows(k)
+        for s in range(0, n, step):
+            e = min(n, s + step)
+            best[s:e] = (-2.0 * (mat[s:e] @ C.T) + c_sq).argmin(axis=1)
         best[~valid] = np.nan
         return pd.Series(best).astype("Int32")
 
