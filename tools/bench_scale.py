@@ -161,9 +161,18 @@ def _ops(spark, d):
         )
 
     # ANN family (c15's registered shapes minus plants/needle/exact-scan
-    # plumbing): cells sized at the SemDeDup granularity (rows/500, the
-    # paper's rule), 20k-row bounded fits, probe fraction 3/8 — the same
-    # knobs the driver checks at bench SFs.
+    # plumbing): 20k-row bounded fits, probe fraction 3/8. Granularity:
+    # cells = max(16, sqrt(rows)) — NOT the fixture's rows/500 rule.
+    # Assignment costs O(n·k·d) and the per-cell pair search O(n²·d/k);
+    # the sum minimizes at k ≈ sqrt(n), which is also where the SemDeDup
+    # paper's own choice sits (50k clusters for 5B points ≈ sqrt). The
+    # fixture's /500 keeps cells ≥16 at driver SFs (2k-20k vectors) but
+    # misextrapolates to 40k cells at 20M vectors, where the assignment
+    # matmul alone is ~100 TFLOP — measured 90 min+ on 32 threads at the
+    # round-11 20M sitting before this rule replaced it.
+    def _ann_cells(e):
+        return max(16, int(e.count() ** 0.5))
+
     def _ann_qvec(e):
         from pyspark.sql import functions as F
 
@@ -176,7 +185,7 @@ def _ops(spark, d):
         from aws_snowflake_kinesis_airflow_pipeline_spark.operators import similarity
 
         e = emb()
-        n_clusters = max(16, e.count() // 500)
+        n_clusters = _ann_cells(e)
         model, indexed = similarity.ivf_index(
             e, "embedding", n_clusters=n_clusters, max_fit_rows=20_000
         )
@@ -210,7 +219,7 @@ def _ops(spark, d):
             e,
             "vec_id",
             "embedding",
-            n_clusters=max(16, e.count() // 500),
+            n_clusters=_ann_cells(e),
             threshold=0.95,
             max_fit_rows=20_000,
         )
