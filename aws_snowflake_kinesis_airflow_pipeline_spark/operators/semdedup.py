@@ -92,16 +92,36 @@ def semantic_dedup_pairs(
         norms = np.linalg.norm(v, axis=1)
         norms[norms == 0.0] = 1.0  # zero vectors match nothing (cos 0)
         vn = v / norms[:, None]
-        sims = vn @ vn.T
-        iu, ju = np.triu_indices(m, k=1)
-        keep = np.round(sims[iu, ju], 4) >= threshold
-        a, b = ids[iu[keep]], ids[ju[keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        # Row-blocked upper-triangle matmul (the dedup._bucket_pairs
+        # discipline): a full m x m sims matrix is m^2-quadratic per
+        # WORKER — max_cluster_rows bounds ROWS (100k) but an unblocked
+        # matrix at even a 20-50k-row k-means cell is 3-20 GB, and 32
+        # concurrent workers of that was the round-11 kernel OOM at the
+        # 20 M-vector decade (k-means cells are NOT uniform; replica-blob
+        # data concentrates). Blocks keep peak memory at block x m.
+        out_i, out_j, out_c = [], [], []
+        block = 4096
+        for b0 in range(0, m, block):
+            sims_blk = np.round(vn[b0 : b0 + block] @ vn.T, 4)
+            for bi in range(sims_blk.shape[0]):
+                i = b0 + bi
+                hits = np.flatnonzero(sims_blk[bi, i + 1 :] >= threshold) + i + 1
+                if len(hits) == 0:
+                    continue
+                a = np.full(len(hits), ids[i])
+                b = ids[hits]
+                out_i.append(np.minimum(a, b))
+                out_j.append(np.maximum(a, b))
+                out_c.append(sims_blk[bi, hits])
+        if not out_i:
+            return pd.DataFrame({"id1": [], "id2": [], "cosine": []}).astype(
+                {"id1": "int64", "id2": "int64", "cosine": "float64"}
+            )
         return pd.DataFrame(
             {
-                "id1": lo,
-                "id2": hi,
-                "cosine": np.round(sims[iu, ju][keep], 4),
+                "id1": np.concatenate(out_i),
+                "id2": np.concatenate(out_j),
+                "cosine": np.concatenate(out_c),
             }
         )
 
