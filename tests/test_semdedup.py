@@ -144,6 +144,73 @@ def test_partition_invariance(spark, emb):
     assert a == b and len(a) >= 5
 
 
+def test_cell_cap_resplit_keeps_planted_recall(spark, emb):
+    """Force the in-kernel re-split (one giant cell, tiny cap): exact
+    copies survive structurally (identical vectors score identically at
+    every split level) and the near-copy pair (300, 301) is geometrically
+    inseparable (cosine ~1 => near-identical assignment scores)."""
+    got = {
+        (r["id1"], r["id2"])
+        for r in semantic_dedup_pairs(
+            emb, n_clusters=1, cell_cap=8
+        ).collect()
+    }
+    assert {(100, 101), (200, 201), (200, 202), (201, 202), (300, 301)} <= got
+
+
+def test_cell_cap_resplit_partition_invariance(spark, emb):
+    """The re-split is a pure function of cell CONTENT (rows sorted by id
+    in-kernel), so the emitted pair set cannot depend on how Spark
+    partitioned the input."""
+    a = {
+        (r["id1"], r["id2"], r["cosine"])
+        for r in semantic_dedup_pairs(
+            emb.coalesce(1), n_clusters=1, cell_cap=8
+        ).collect()
+    }
+    b = {
+        (r["id1"], r["id2"], r["cosine"])
+        for r in semantic_dedup_pairs(
+            emb.repartition(7), n_clusters=1, cell_cap=8
+        ).collect()
+    }
+    assert a == b and len(a) >= 5
+
+
+def test_identical_clique_exceeding_cap_is_emitted_whole(spark):
+    """A group k-means cannot split (all rows one point) falls through to
+    the full pairwise pass: every clique pair emitted exactly once, none
+    lost to a futile recursion."""
+    n = 30
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(n)]
+    rows += [(1000 + i, [float(i), -1.0, 0.5, 2.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id1"], r["id2"])
+        for r in semantic_dedup_pairs(df, n_clusters=1, cell_cap=8).collect()
+    }
+    want_clique = {(a, b) for a in range(n) for b in range(a + 1, n)}
+    assert want_clique <= got
+    assert len(want_clique & got) == n * (n - 1) // 2
+
+
+def test_cell_cap_default_inactive_at_small_cells(spark, emb):
+    """Cells under the cap take the exact same single-group path as
+    before the re-split landed: pair set unchanged vs an effectively
+    infinite cap."""
+    lo = {
+        (r["id1"], r["id2"], r["cosine"])
+        for r in semantic_dedup_pairs(emb, n_clusters=4).collect()
+    }
+    hi = {
+        (r["id1"], r["id2"], r["cosine"])
+        for r in semantic_dedup_pairs(
+            emb, n_clusters=4, cell_cap=10_000_000
+        ).collect()
+    }
+    assert lo == hi
+
+
 def test_threshold_validation(spark, emb):
     with pytest.raises(ValueError):
         semantic_dedup_pairs(emb, threshold=0.0)
