@@ -220,7 +220,7 @@ def bpe_encode(
             if t is None:
                 return []
             out: list[str] = []
-            for w in split_re.split(t.lower()):
+            for w in split_re.split(t):
                 if not w:
                     continue
                 pieces = cache.get(w)
@@ -232,4 +232,10 @@ def bpe_encode(
 
         return texts.map(enc_text)
 
-    return docs.withColumn(out_col, _enc(F.col(text_col)))
+    # Case-fold in the JVM (F.lower), the SAME engine the fit's
+    # _lower_tokens uses — Python str.lower() diverges from java.lang on
+    # locale-sensitive code points (U+0130 İ lowers to 'i̇' in Python,
+    # 2 chars), which would segment differently at encode time than the
+    # fit saw. Whitespace parity is pinned the same way (WS_CLASS note
+    # above); case-fold parity is now structural, not assumed.
+    return docs.withColumn(out_col, _enc(F.lower(F.col(text_col))))

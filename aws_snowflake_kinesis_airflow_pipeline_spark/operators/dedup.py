@@ -1177,29 +1177,175 @@ def _sig_chunk(words: list[Column], offset: int, width: int) -> Column:
     return low.bitwiseOR(F.shiftleft(high, lo_bits)).bitwiseAND(mask)
 
 
+def _simhash_hamming(e1, e2, sig_cols: list[str]) -> Column:
+    """Exact Hamming distance between two signature tuples given column
+    accessors ``e1``/``e2`` mapping a signature column name to a Column."""
+    h = F.bit_count(e1(sig_cols[0]).bitwiseXOR(e2(sig_cols[0])))
+    for c in sig_cols[1:]:
+        h = h + F.bit_count(e1(c).bitwiseXOR(e2(c)))
+    return h
+
+
+def _simhash_pairs_combo(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int,
+    bits: int,
+    sig_cols: list[str],
+) -> DataFrame:
+    """Multi-block pigeonhole candidate generation (the Manku/Jain/Sarma
+    WWW'07 simhash-dedup table discipline): split the signature into
+    ``m = max_hamming + 2`` blocks and key each document under every
+    2-block combination — a pair differing in <= max_hamming bits has
+    errors in <= max_hamming blocks, so SOME pair of blocks is clean on
+    both sides and they collide on that combination's key. Compared to
+    the single-chunk pigeonhole (``max_hamming + 1`` chunks, one clean
+    chunk guaranteed), the effective key width DOUBLES (two blocks ≈
+    2·bits/m bits), so spurious collisions fall from ``n²/2^(bits/(h+1))``
+    to ``C(m,2)·n²/2^(2·bits/m)`` — at 128 bits / h=6 that is 18-bit keys
+    (5 M docs: ~6.7e8 spurious candidates, the measured 48% retention at
+    the round-11 5 M tier) vs 32-bit keys (~8e4) for 4x the exchange ROWS
+    but none of the quadratic cliff.
+
+    Narrow-exchange discipline (the linedup fingerprint form): the combo
+    exchange ships (id, key) — the key is one xxhash64 of (combo_id,
+    block_i, block_j); a hash collision can only merge buckets, which
+    only ADDS candidates that exact verification removes, never drops a
+    true collision — and the signature words are fetched by id join-back
+    at CANDIDATE volume for verification, instead of riding every
+    bucket-table row. The id-keyed scaled exchange on the signature table
+    is the pin shared by the combo explode and both verify joins (the
+    tf_idf_vectors term-exchange precedent, search.py)."""
+    import itertools
+
+    m = max_hamming + 2
+    if bits // m < 8:
+        raise ValueError(
+            f"combo strategy needs blocks >= 8 bits; bits={bits} over "
+            f"{m} blocks gives {bits // m} — raise bits or lower max_hamming"
+        )
+    base, extra = divmod(bits, m)
+    widths = [base + (1 if i < extra else 0) for i in range(m)]
+    offsets = [sum(widths[:i]) for i in range(m)]
+    words = [F.col(c) for c in sig_cols]
+
+    sig0 = simhash_signatures(df, id_col, text_col, bits=bits)
+    # Pin: the signature aggregation (explode + one conditional sum per
+    # bit over every token — the operator's dominant compute) feeds the
+    # combo explode AND both candidate-volume verify joins; the id-keyed
+    # exchange (or bench-SF checkpoint) makes all three read one
+    # materialization.
+    sig = _pin_or_scale(sig0, id_col, source=df)
+
+    keys = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(ci),
+                        _sig_chunk(words, offsets[i], widths[i]),
+                        _sig_chunk(words, offsets[j], widths[j]),
+                    )
+                    for ci, (i, j) in enumerate(
+                        itertools.combinations(range(m), 2)
+                    )
+                ]
+            )
+        ).alias("key_val"),
+    )
+    # The combo table is the one corpus-volume exchange (C(m,2) rows/doc
+    # x 16 B) — scaled like every corpus-volume exchange. No checkpoint:
+    # it is a cheap projection of the pinned signatures.
+    keys = _scaled_repartition(keys, "key_val", source=df)
+    postings = (
+        keys.groupBy("key_val")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    # id1 != id2: a doc appears once per combo under DIFFERENT keys, but
+    # an (astronomically unlikely) xxhash64 collision between two of its
+    # own combo keys would put it twice in one bucket — a self-pair the
+    # exact verify could not remove (hamming 0).
+    cand = (
+        _posting_pairs(postings)
+        .filter(F.col("id1") != F.col("id2"))
+        .distinct()
+    )
+
+    s1 = sig.select(
+        F.col(id_col).alias("id1"),
+        *[F.col(c).alias(f"{c}_1") for c in sig_cols],
+    )
+    s2 = sig.select(
+        F.col(id_col).alias("id2"),
+        *[F.col(c).alias(f"{c}_2") for c in sig_cols],
+    )
+    hamming = _simhash_hamming(
+        lambda c: F.col(f"{c}_1"), lambda c: F.col(f"{c}_2"), sig_cols
+    )
+    # SHUFFLE_HASH: candidate volume joined against the corpus-volume
+    # signature table — a statically mis-estimated broadcast of either
+    # side cannot be demoted by AQE (the incremental._verify_cross_pairs
+    # precedent).
+    return (
+        cand.join(s1.hint("shuffle_hash"), "id1")
+        .join(s2.hint("shuffle_hash"), "id2")
+        .select("id1", "id2", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
     bits: int = 64,
+    strategy: str | None = None,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= max_hamming.
 
-    Pigeonhole bucketing: split the ``bits``-wide signature into
-    ``max_hamming+1`` chunks — a pair differing in <= max_hamming bits
-    cannot differ in every chunk, so it must agree exactly on >= 1, and an
-    equality join per chunk finds all such pairs without a cross product.
+    Pigeonhole bucketing, two strategies with the IDENTICAL exact pair
+    set (verification is exact bit_count(xor); only candidate generation
+    differs):
+
+    * ``strategy="combo"`` (the scale path): multi-block keys —
+      ``max_hamming + 2`` blocks, an equality join per 2-block
+      combination, signatures fetched at candidate volume
+      (:func:`_simhash_pairs_combo`). Spurious candidates scale as
+      ``C(m,2)·n²/2^(2·bits/m)``.
+    * ``strategy="chunk"``: ``max_hamming + 1`` chunks — a pair within
+      the Hamming budget must agree exactly on >= 1 chunk. Fewer rows
+      per doc (m+1 vs C(m+2,2)) but SINGLE-block keys: spurious
+      candidates ~``n²/2^(bits/(h+1))`` make it the cheaper form only
+      while the corpus is far from the key-width cliff.
+    * default (``None``): combo when its blocks are >= 8 bits wide —
+      i.e. whenever the Hamming budget leaves enough signature for
+      meaningful 2-block keys — else chunk (a budget that large relative
+      to ``bits`` has near-vacuous keys under EITHER strategy and is a
+      small-corpus configuration by construction).
+
     (A fixed chunk count would silently miss pairs once max_hamming >=
     n_chunks.) Verification = bit_count(xor) per word — exact, no false
     positives.
 
-    ``bits`` is the scale knob: unrelated-pair chunk collisions are
-    ~``n_chunks * n^2 / 2^(bits/n_chunks)``, so at corpus scale a 64-bit
-    signature at max_hamming=6 (9-bit chunks) drowns in spurious
-    candidates while 128-bit (18-bit chunks) cuts them ~512x — same
-    equality-join shape, one extra long column through the exchange.
+    ``bits`` remains a scale knob at either strategy: doubling the
+    signature widens every key. At 128 bits / max_hamming=6 the chunk
+    form's 18-bit keys drown at ~5 M docs (measured 48% per-row
+    retention) while the combo form's 32-bit keys hold to the 50 M tier
+    (BASELINE.md round-12 decade table).
     """
+    if strategy is None:
+        strategy = "combo" if bits // (max_hamming + 2) >= 8 else "chunk"
+    if strategy == "combo":
+        sig_cols = ["simhash"] + (["simhash_hi"] if bits == 128 else [])
+        return _simhash_pairs_combo(
+            df, id_col, text_col, max_hamming, bits, sig_cols
+        )
+    if strategy != "chunk":
+        raise ValueError(f"unknown simhash strategy: {strategy!r}")
     n_chunks = max_hamming + 1
     base, extra = divmod(bits, n_chunks)
     widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]

@@ -53,6 +53,7 @@ BRANCH_SPLITS = {
     "c22_doc_chunks": ("op", ("chunk", "encode", "bpe")),
     "c15_cosine_topk_ivf": ("op", ("ivf", "pq", "semdedup")),
     "c2_minhash_lsh_near_dups": ("branch", ("pairs", "incremental")),
+    "c5_embedding_near_dups": ("branch", ("pairs", "incremental")),
     "c11_lang_id_histogram": ("branch", ("lang", "diversity")),
     "c17_train_val_split": ("branch", ("plain", "leakage")),
     "s1_window_counts": (

@@ -157,6 +157,28 @@ def test_bpe_encode_dataframe_pass(spark):
     assert rows[2] == [] and rows[3] == []
 
 
+def test_encode_case_folds_with_the_fit_engine(spark):
+    """Fit and encode must lowercase with the SAME engine (JVM F.lower on
+    both paths). U+0130 (İ) is the classic divergence: Python str.lower()
+    expands it to 'i' + U+0307 (2 chars) while java.lang.String keeps 1 —
+    a Python-side fold would segment fit-seen words differently at encode
+    time. The pin: encoding the corpus the fit saw reproduces the fit's
+    own segmentation, dotted capital I included."""
+    df = spark.createDataFrame(
+        [(i, "İstanbul İstanbul newest") for i in range(4)],
+        "doc_id long, text string",
+    )
+    merges = induce_bpe_merges(df, n_merges=12)
+    jvm_lower = df.selectExpr("lower('İstanbul') AS w").first()["w"]
+    ranks = {p: i for i, p in enumerate(merges)}
+    rows = bpe_encode(df.limit(1), merges).first()["bpe_tokens"]
+    seg = bpe_segment_word(jvm_lower, ranks)
+    # The encoded doc's first word is exactly the fit-engine segmentation
+    # of the JVM-lowered word, and the pieces round-trip to it.
+    assert rows[: len(seg)] == seg
+    assert "".join(seg) == jvm_lower + END_OF_WORD
+
+
 def test_bounded_sample_and_early_stop(spark):
     # All words unique -> every pair count is 1 -> zero merges.
     df = spark.createDataFrame(

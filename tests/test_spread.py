@@ -400,8 +400,16 @@ def test_linedup_fingerprint_form_never_shuffles_line_bodies(
         docs, "doc_id", "text", fingerprint_lines=True
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    for line in plan.splitlines():
-        if "Exchange hashpartitioning" in line:
-            assert "line" not in line.split("Exchange")[1][:120] or "_fp" in line
+    # Parse each hash exchange's actual key list (last arg is the
+    # partition count): every key must be a fingerprint word or the doc
+    # id — a text-keyed ('_line') exchange fails by NAME, not by a
+    # substring heuristic a co-printed _fp column could satisfy.
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges
+    for args in exchanges:
+        keys = {k.strip().split("#")[0] for k in args.split(",")[:-1]}
+        assert keys <= {"_fp0", "_fp1", "doc_id"}, keys
     assert "_fp0" in plan
     assert f", {n})" in plan

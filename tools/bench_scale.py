@@ -17,11 +17,13 @@ erratic 120-412 s at 64g). Right-sized partitions, not a bigger heap,
 are the scale knob — which is also the honest cluster story.
 
 Usage: python tools/bench_scale.py <dir> [op ...] [--reps N]
-       ops: c1 c2 c3 c4 c5 c8 c16 line span tfidf encode chain
-            ivf pq semdedup
+       ops: c1 c2 c3 c4 c5 c8 c16 line linefp span tfidf encode chain
+            diversity ivf pq semdedup
             retention transition funnel tumbling session
        (default: c2 c16 span; c5 needs embeddings.parquet in the dir,
-       the event ops need events.parquet, the rest need documents)
+       the event ops need events.parquet, the rest need documents;
+       the incremental-index probe decade has its own lifecycle-aware
+       harness, tools/bench_incremental.py)
 """
 
 from __future__ import annotations
