@@ -1204,9 +1204,12 @@ def _simhash_pairs_combo(
     chunk guaranteed), the effective key width DOUBLES (two blocks ≈
     2·bits/m bits), so spurious collisions fall from ``n²/2^(bits/(h+1))``
     to ``C(m,2)·n²/2^(2·bits/m)`` — at 128 bits / h=6 that is 18-bit keys
-    (5 M docs: ~6.7e8 spurious candidates, the measured 48% retention at
-    the round-11 5 M tier) vs 32-bit keys (~8e4) for 4x the exchange ROWS
-    but none of the quadratic cliff.
+    (5 M docs: ~3e8 spurious emissions) vs 32-bit keys (~8e4) for 4x the
+    exchange ROWS. The trade only pays once the quadratic emission term
+    dominates (see the strategy-selection note in
+    :func:`simhash_near_dup_pairs` — measured crossover ~5e8 docs; below
+    it the chunk form's spurious pairs are row-local emissions verified
+    before any exchange, and cost less than the extra rows).
 
     Narrow-exchange discipline (the linedup fingerprint form): the combo
     exchange ships (id, key) — the key is one xxhash64 of (combo_id,
@@ -1321,24 +1324,28 @@ def simhash_near_dup_pairs(
       per doc (m+1 vs C(m+2,2)) but SINGLE-block keys: spurious
       candidates ~``n²/2^(bits/(h+1))`` make it the cheaper form only
       while the corpus is far from the key-width cliff.
-    * default (``None``): combo when its blocks are >= 8 bits wide —
-      i.e. whenever the Hamming budget leaves enough signature for
-      meaningful 2-block keys — else chunk (a budget that large relative
-      to ``bits`` has near-vacuous keys under EITHER strategy and is a
-      small-corpus configuration by construction).
+    * default (``None``): chunk — the measured winner through the 50 M
+      tier (round-12 same-sitting A/B at 5 M: chunk 103.2 s vs combo
+      185.1 s; BASELINE.md). The md5 + per-bit signature aggregation
+      dominates both forms there, and combo's C(m,2) rows/doc exchange
+      costs more than the chunk form's spurious EMISSIONS, which are
+      row-local and verified before any exchange. The crossover is where
+      ``n²·(h+1)/2^(bits/(h+1))`` emissions outgrow ``~C(m,2)·n`` extra
+      exchange rows — ~5e8 docs at 128 bits / h=6 — so pass
+      ``strategy="combo"`` explicitly for corpora beyond ~1e8 documents
+      (at 100 TB the 18-bit chunk buckets hold ~4e5 occupants each and
+      the quadratic emission is infeasible; the combo form is the only
+      viable shape there).
 
     (A fixed chunk count would silently miss pairs once max_hamming >=
     n_chunks.) Verification = bit_count(xor) per word — exact, no false
     positives.
 
     ``bits`` remains a scale knob at either strategy: doubling the
-    signature widens every key. At 128 bits / max_hamming=6 the chunk
-    form's 18-bit keys drown at ~5 M docs (measured 48% per-row
-    retention) while the combo form's 32-bit keys hold to the 50 M tier
-    (BASELINE.md round-12 decade table).
+    signature widens every key.
     """
     if strategy is None:
-        strategy = "combo" if bits // (max_hamming + 2) >= 8 else "chunk"
+        strategy = "chunk"
     if strategy == "combo":
         sig_cols = ["simhash"] + (["simhash_hi"] if bits == 128 else [])
         return _simhash_pairs_combo(
