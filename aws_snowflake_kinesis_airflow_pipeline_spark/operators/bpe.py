@@ -145,7 +145,8 @@ def induce_bpe_merges(
                 F.col(id_col),
             )
             .limit(max_fit_docs)
-            .localCheckpoint(eager=True)
+            # Lazy: materializes inside the word-count collect below.
+            .localCheckpoint(eager=False)
         )
         src = docs.select(id_col, text_col).join(
             F.broadcast(fit_ids), id_col, "left_semi"

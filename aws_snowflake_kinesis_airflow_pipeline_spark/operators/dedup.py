@@ -40,7 +40,13 @@ def _pin_or_scale(frame: DataFrame, *keys: str, source: DataFrame) -> DataFrame:
 
     At bench SFs (the exchange guard says the session default suffices):
     ``localCheckpoint`` — materializes the kernel once so no re-plan can
-    replay it, the round-5 discipline, measured free at sf10.
+    replay it, the round-5 discipline, measured free at sf10. Lazy
+    (round-12, guide §2.6): the blocks still build exactly once — a lazy
+    local checkpoint is one RDD, computed and persisted by the first job
+    that touches it, and every later consumer (or re-plan) reads the
+    blocks — but the build folds into the first downstream action instead
+    of running as a standalone driver-waited job, so independent stages
+    overlap and per-job scheduling latency is paid once, not per pin.
 
     When spread.exchange_partitions fires (input >> bench SF): a scaled
     ``repartition`` on the aggregation keys INSTEAD of the checkpoint.
@@ -55,7 +61,7 @@ def _pin_or_scale(frame: DataFrame, *keys: str, source: DataFrame) -> DataFrame:
     """
     n = _exchange_partitions(source)
     if n is None:
-        return frame.localCheckpoint()
+        return frame.localCheckpoint(eager=False)
     return frame.repartition(n, *keys)
 
 
@@ -462,7 +468,9 @@ def ngram_jaccard_pairs(
             raise ValueError(
                 "df prefix filter needs max_doc_freq and no candidates"
             )
-        per_doc = doc_shingles(df, id_col, text_col, k).localCheckpoint()
+        per_doc = doc_shingles(df, id_col, text_col, k).localCheckpoint(
+            eager=False  # materializes inside the query's own action
+        )
         full_sizes = per_doc.select(id_col, F.size("hs").alias("n_sh"))
         idx = per_doc.select(id_col, F.explode("hs").alias("shingle"))
         cool = (
@@ -491,7 +499,7 @@ def ngram_jaccard_pairs(
                     F.size("arr") - alpha + 1, F.lit(0)
                 ).alias("plen"),
             )
-            .localCheckpoint()  # read by postings AND verification fetch
+            .localCheckpoint(eager=False)  # read by postings AND verification fetch
         )
         postings = (
             pre.select(
@@ -506,7 +514,7 @@ def ngram_jaccard_pairs(
             # only pair-generating postings
             .filter(F.size("ids") >= 2)
         )
-        cand = _posting_pairs(postings).distinct().localCheckpoint()
+        cand = _posting_pairs(postings).distinct().localCheckpoint(eager=False)
         # Candidate-volume verification (the array_path discipline):
         # fetch capped sets for candidate ids only (AQE broadcasts the id
         # side), intersect row-locally, finalize against FULL sizes.
@@ -558,7 +566,7 @@ def ngram_jaccard_pairs(
             .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
             .filter((F.size("ids") >= 2) & (F.size("ids") <= max_doc_freq))
         )
-        cand = _posting_pairs(postings).distinct().localCheckpoint()
+        cand = _posting_pairs(postings).distinct().localCheckpoint(eager=False)
         return ngram_jaccard_pairs(
             df,
             id_col,
@@ -587,7 +595,9 @@ def ngram_jaccard_pairs(
             # the result is GC'd — repeated suite runs in one session don't
             # accumulate cache entries (cache() here re-registered an
             # identical plan every call and warned).
-            per_doc = doc_shingles(df, id_col, text_col, k).localCheckpoint()
+            per_doc = doc_shingles(df, id_col, text_col, k).localCheckpoint(
+                eager=False
+            )
             per_doc_local = per_doc
             sh = per_doc.select(id_col, F.explode("hs").alias("shingle"))
             if sizes is None:
@@ -678,7 +688,7 @@ def ngram_jaccard_pairs(
             # joins below read it.
             cand_sets = doc_shingles(
                 df.join(ids, id_col, "left_semi"), id_col, text_col, k
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
         else:
             cand_sets = per_doc_sets.join(ids, id_col, "left_semi")
         # _scaled_repartition on the set-bearing sides: the SHJ below
@@ -1048,9 +1058,12 @@ def minhash_lsh_pairs(
     # Checkpointed: candidate-sized (the S-curve keeps it linear in the
     # corpus), and the verification step reads it three times (two pair
     # joins + the id semi-join) — without materialization each read
-    # re-runs the banding aggregation.
+    # re-runs the banding aggregation. Lazy: the three consumers are all
+    # in the caller's final plan, so the blocks build inside the query's
+    # own action (overlapping its other stages) rather than as a
+    # build-time job the driver waits on.
     candidates = (
-        _posting_pairs(postings).distinct().localCheckpoint()
+        _posting_pairs(postings).distinct().localCheckpoint(eager=False)
     )
     return ngram_jaccard_pairs(
         df,
@@ -1466,13 +1479,19 @@ def connected_components(
         # localCheckpoint truncates the (potentially deep) pair-generation
         # lineage so each propagation round plans over a materialized edge
         # list instead of replaying LSH candidate generation per iteration.
-        .localCheckpoint()
+        # eager=False (round-12, guide §2.6): blocks still materialize
+        # exactly once — inside the FIRST action that needs them (round
+        # 1's convergence count) — instead of as standalone driver-waited
+        # jobs; independent stages of that one job overlap where eager
+        # checkpointing serialized them. Each round of the loop below ran
+        # two actions (checkpoint job + count job); it now runs one.
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("id1").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # The per-round joins hint SHUFFLE_HASH on the checkpointed side for
     # the same reason as ngram_jaccard_pairs' verification joins: both
@@ -1480,35 +1499,51 @@ def connected_components(
     # statically mis-estimated broadcast of a checkpointed RDD cannot be
     # demoted by AQE. neighbor_min is post-aggregation (real AQE stats),
     # so its join is left to the optimizer.
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels.hint("shuffle_hash"), edges.id2 == labels.id)
-            .groupBy(F.col("id1").alias("id"))
-            .agg(F.min("component").alias("neighbor_component"))
-        )
-        # The convergence flag rides the round's own projection: a node
-        # changed iff a neighbor offered a strictly smaller label. Reading
-        # the flag back off the just-materialized checkpoint replaces the
-        # previous old-vs-new labels join — one full shuffle join per
-        # round bought nothing the row already knew.
-        flagged = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("neighbor_component"), F.col("component")),
-                ).alias("component"),
-                F.coalesce(
-                    F.col("neighbor_component") < F.col("component"),
-                    F.lit(False),
-                ).alias("_changed"),
+    #
+    # Rounds are composed TWO per convergence action (round-12, guide
+    # §1.2/2.6): a fixpoint is a fixpoint of every later round, so
+    # checking only the LAST composed round's flag is exact — if it
+    # changed nothing, the earlier round's changes were already absorbed
+    # and propagation is complete. Near-dup clusters are tiny
+    # (pairs/triples — the module-level observation), so the common case
+    # converges in 2 rounds = ONE driver action instead of two, and each
+    # round's lazy per-round pin (still required: without it round k
+    # appears twice in round k+1's plan and the lineage doubles per
+    # round) materializes inside that one action with its stages
+    # overlapping. Worst case runs one round past convergence — one
+    # node-volume shuffle — against halving the driver-blocking actions
+    # on every call at every scale.
+    rounds_per_check = 2
+    flagged = None
+    for base in range(0, max_iterations, rounds_per_check):
+        for _r in range(min(rounds_per_check, max_iterations - base)):
+            neighbor_min = (
+                edges.join(labels.hint("shuffle_hash"), edges.id2 == labels.id)
+                .groupBy(F.col("id1").alias("id"))
+                .agg(F.min("component").alias("neighbor_component"))
             )
-            .localCheckpoint()
-        )
-        changed = flagged.filter("_changed").limit(1).count()
-        labels = flagged.drop("_changed")
-        if changed == 0:
+            # The convergence flag rides the round's own projection: a
+            # node changed iff a neighbor offered a strictly smaller
+            # label.
+            flagged = (
+                labels.join(neighbor_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(
+                            F.col("neighbor_component"), F.col("component")
+                        ),
+                    ).alias("component"),
+                    F.coalesce(
+                        F.col("neighbor_component") < F.col("component"),
+                        F.lit(False),
+                    ).alias("_changed"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            labels = flagged.drop("_changed")
+        if flagged.filter("_changed").limit(1).count() == 0:
             break
     else:
         raise RuntimeError(

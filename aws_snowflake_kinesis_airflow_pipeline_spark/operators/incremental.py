@@ -104,7 +104,9 @@ def write_minhash_index(
     ``exclude_set_ids`` (the probe surface never saw the doc, so it is
     correctly re-processed; only its set row must not double).
     """
-    per_doc = doc_shingles(df, id_col, text_col, k).localCheckpoint()
+    per_doc = doc_shingles(df, id_col, text_col, k).localCheckpoint(
+        eager=False  # materializes inside the sets write, reused by buckets
+    )
     sig = minhash_signatures(
         df, id_col, text_col, num_hashes, k, per_doc=per_doc
     )
@@ -247,19 +249,26 @@ def incremental_near_dup_pairs(
     shuffled). Disable only for a batch too large to broadcast, which
     degrades to a shuffle join on (band_id, band_hash).
     """
-    # Batch-sized artifacts, each read by 2+ downstream joins.
-    new_per_doc = doc_shingles(new_df, id_col, text_col, k).localCheckpoint()
+    # Batch-sized artifacts, each read by 2+ downstream joins. All pins
+    # here are LAZY local checkpoints (round-12): blocks still build
+    # exactly once, but inside the first action that needs them — the
+    # bounded hit-bucket collect below — instead of as four standalone
+    # driver-waited jobs, so the batch passes overlap as stages of one
+    # job. (Guide §2.6; measured ~4 s of per-job latency at sf0.1.)
+    new_per_doc = doc_shingles(new_df, id_col, text_col, k).localCheckpoint(
+        eager=False
+    )
     new_sig = minhash_signatures(
         new_df, id_col, text_col, num_hashes, k, per_doc=new_per_doc
     )
     new_buckets = band_buckets(
         new_sig, id_col, num_hashes, bands
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     # --- batch vs corpus: probe the persisted bucket store -------------
     cross_cand = _cross_candidates(
         spark, new_buckets, index_path, id_col, broadcast_batch
-    ).localCheckpoint()  # candidate-volume; read by bucket collect + verify
+    ).localCheckpoint(eager=False)  # candidate-volume; read by bucket collect + verify
 
     # Fetch ONLY candidate corpus docs' sets: directory pruning via the
     # id-hash partition key (driver-bounded collect: <= N_SET_BUCKETS
@@ -287,7 +296,9 @@ def incremental_near_dup_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    batch_cand = _posting_pairs(batch_postings).distinct().localCheckpoint()
+    batch_cand = _posting_pairs(batch_postings).distinct().localCheckpoint(
+        eager=False
+    )
     batch_pairs = ngram_jaccard_pairs(
         new_df,
         id_col,
@@ -350,7 +361,7 @@ def _greedy_insert(
     module-docstring semantics, shared by the text and embedding paths):
     drop batch docs with any ``vs='corpus'`` pair, cluster the remaining
     ``vs='batch'`` pairs, keep each cluster's minimum id."""
-    pairs = pairs.localCheckpoint()  # read by both corpus-drop and clustering
+    pairs = pairs.localCheckpoint(eager=False)  # read by both consumers
 
     new_ids = new_df.select(id_col)
     corpus_dupped = (
@@ -511,9 +522,12 @@ def incremental_embedding_near_dups(
     fetch partition-pruned by id-hash bucket, and exact cosine makes
     precision exact (LSH only bounds recall)."""
     meta = _read_embedding_meta(spark, index_path)
+    # Lazy pins, same rationale as incremental_near_dup_pairs: the
+    # hit-bucket collect below materializes the whole batch chain as one
+    # job instead of three.
     new_vecs = new_df.select(
         id_col, F.col(vec_col).cast("array<double>").alias("vec")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     new_buckets = _embedding_buckets(
         new_vecs,
         id_col,
@@ -522,7 +536,7 @@ def incremental_embedding_near_dups(
         meta["n_tables"],
         meta["dim"],
         meta["seed"],
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     # Batch vs corpus: probe the store, batch side broadcast.
     corpus_buckets = spark.read.parquet(f"{index_path}/buckets")
@@ -538,7 +552,7 @@ def incremental_embedding_near_dups(
         .join(probe_side, ["table_id", "bucket"])
         .select("new_id", "old_id")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     # Batch vs batch: grouped pair emission on the SAME buckets (one

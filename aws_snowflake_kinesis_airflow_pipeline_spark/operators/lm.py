@@ -127,11 +127,13 @@ def bigram_lm_scores(
                 F.col(id_col),
             )
             .limit(max_fit_docs)
-            .localCheckpoint(eager=True)
+            # Lazy pins: both materialize inside the bounded vocab collect
+            # below (their first action), not as standalone jobs.
+            .localCheckpoint(eager=False)
         )
         fit_docs = proj.join(
             F.broadcast(fit_ids), id_col, "left_semi"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         fit_toks = fit_docs.select(F.col(id_col), t.alias("_t"))
     else:
         fit_toks = toks

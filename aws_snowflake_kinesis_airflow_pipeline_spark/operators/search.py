@@ -101,8 +101,10 @@ def bm25_scores(
         # Materialize: postings feed BOTH the df aggregate and the scoring
         # join; without this the corpus scan + explode runs twice (Catalyst
         # does not share the subtree). Postings are query-term-bounded —
-        # tiny next to the corpus — so the checkpoint is cheap.
-        .localCheckpoint()
+        # tiny next to the corpus — so the checkpoint is cheap. Lazy: the
+        # blocks build inside the df_by_term broadcast job of the query's
+        # own action instead of a standalone build-time job.
+        .localCheckpoint(eager=False)
     )
 
     # Per-term document frequency: ≤ |Q| rows; broadcast back.
@@ -244,7 +246,11 @@ def tf_idf_vectors(
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
-    tf = agged.localCheckpoint() if _exchange_partitions(docs) is None else agged
+    tf = (
+        agged.localCheckpoint(eager=False)  # folds into the first consumer
+        if _exchange_partitions(docs) is None
+        else agged
+    )
     # df per term, capped to the top-vocab_size by df (ties by term asc).
     df_tab = (
         tf.groupBy("term")

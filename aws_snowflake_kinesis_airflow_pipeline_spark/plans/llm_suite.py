@@ -710,7 +710,7 @@ def c15_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus/500), the ivf probe widens n_probe to keep the probed fraction
     at the historical 3/8, and the plants join the query vector on the
     exclude list so the ANN branches' result sets are plant-free. The
-    assigned corpus is pinned with one eager localCheckpoint: every pass
+    assigned corpus is pinned with one lazy localCheckpoint: every pass
     below (exact scan, ivf probe, per-cell semdedup, PQ fit/encode, pair
     join-backs) reads the materialized (id, vector, cell) blocks, so the
     parquet is scanned once and the assignment UDF runs once instead of
@@ -744,9 +744,10 @@ def c15_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "vec_id long, embedding array<float>",
     ).repartition(1)
-    # Materialized once (see docstring); the count that sizes the cells
-    # reads the checkpointed blocks for free.
-    all_in = emb.unionByName(plants).localCheckpoint(eager=True)
+    # Materialized once (see docstring); lazy — the count below is the
+    # first action and builds the blocks inside its own job (one
+    # scheduling round instead of two), then reads them for free.
+    all_in = emb.unionByName(plants).localCheckpoint(eager=False)
     # One bounded count: the SemDeDup cells-per-rows knob (paper's
     # granularity rule) now also sizes the shared index.
     n_clusters = max(16, all_in.count() // 500)
@@ -760,8 +761,11 @@ def c15_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         all_in, "embedding", n_clusters=n_clusters, max_fit_rows=20_000
     )
     # One assignment pass total: ivf probe and the semdedup per-cell
-    # exchange both read these blocks.
-    indexed = indexed0.localCheckpoint(eager=True)
+    # exchange both read these blocks. Lazy: the blocks build inside the
+    # semdedup components' first convergence count (the next action),
+    # overlapping with the per-cell kernel stages, instead of as a
+    # standalone job the driver waits on.
+    indexed = indexed0.localCheckpoint(eager=False)
     # PLAN-LAYER-ONLY ground truth: this O(corpus) brute-force scan exists
     # solely so the registered query can reduce to oracle-boundable recall
     # booleans. It must NEVER leak into the operator API — ivf_topk /
@@ -1917,7 +1921,9 @@ def c22_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Bounded (64 rows) by construction; lineage truncation here is what
     # keeps this branch at ~2 corpus tokenize passes instead of 5.
-    vocab = build_vocab(docs, "text", vocab_size=64).localCheckpoint(eager=True)
+    vocab = build_vocab(docs, "text", vocab_size=64).localCheckpoint(
+        eager=False  # bounded 64 rows; materializes at its first consumer
+    )
     enc = encode_documents(docs, vocab, id_col="doc_id", text_col="text")
     # Round-trip audit sample: the 256 smallest portable-md5 doc ids —
     # ids-only top-k (executor merge) + broadcast semi fetch, the lm.py
