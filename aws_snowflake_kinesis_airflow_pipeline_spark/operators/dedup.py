@@ -1506,13 +1506,22 @@ def connected_components(
     # changed nothing, the earlier round's changes were already absorbed
     # and propagation is complete. Near-dup clusters are tiny
     # (pairs/triples — the module-level observation), so the common case
-    # converges in 2 rounds = ONE driver action instead of two, and each
-    # round's lazy per-round pin (still required: without it round k
-    # appears twice in round k+1's plan and the lineage doubles per
-    # round) materializes inside that one action with its stages
-    # overlapping. Worst case runs one round past convergence — one
-    # node-volume shuffle — against halving the driver-blocking actions
-    # on every call at every scale.
+    # converges in 2 rounds per convergence CHECK. Each round's lazy
+    # per-round pin is still required: without it round k appears twice
+    # in round k+1's plan and the lineage doubles per round. Two
+    # accuracy caveats (round-12 review): (1) the limit(1) convergence
+    # count can short-circuit partitions, after which Spark runs a
+    # backfill job for the lazily-checkpointed RDD's unmaterialized
+    # partitions — so "one action per 2 rounds" is the best case, not a
+    # guarantee; (2) with the default
+    # spark.checkpoint.checkpointAllMarkedAncestors=false, materializing
+    # the outermost pin does not truncate the inner rounds' marked
+    # ancestors — superseded rounds' blocks stay persisted until
+    # ContextCleaner GCs the py4j-released RDDs. Both are bounded by the
+    # tiny round count here; a long-diameter graph workload should
+    # unpersist superseded rounds explicitly. Worst case runs one round
+    # past convergence — one node-volume shuffle — against halving the
+    # driver-blocking actions on every call at every scale.
     rounds_per_check = 2
     flagged = None
     for base in range(0, max_iterations, rounds_per_check):

