@@ -1659,7 +1659,16 @@ def cosine_pairs_udf():
             out[idx] = vals
         return pd.Series(out)
 
-    return _cos
+    # asNondeterministic (guide §4.4): the caller's shape is
+    # withColumn(cosine) -> filter(cosine >= thr) -> project(cosine), and
+    # the optimizer pushes the filter below the projection by COPYING the
+    # UDF — two ArrowEvalPython nodes per verify join, every candidate
+    # pair scored twice (seen in the c5 plan dumps). The function is pure;
+    # the marking only forbids the optimizer from duplicating/reordering
+    # it, collapsing each verify to one evaluation. Trade-off per the
+    # guide: other filters can no longer push past this node — the callers
+    # filter only on the cosine itself, so nothing is lost.
+    return _cos.asNondeterministic()
 
 
 def hyperplane_buckets_udf(planes_by_table: list[list[list[float]]]):

@@ -83,12 +83,24 @@ def top_k_frequent(
     col: str,
     k: int = 100,
     capacity: int = 4096,
+    exact_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Exact counts of the candidate top-k values of ``col``.
 
     Returns (col, n) ordered by n desc, col asc — at most k rows. The
     candidate set comes from per-partition SpaceSaving summaries; counts
     are exact recounts over the raw data restricted to candidates.
+
+    ``exact_counts``: optional pre-computed exact (col, n) counts covering
+    at least every non-null value of ``col`` in ``df``. When a caller has
+    already paid for a full count (b10 computes one for its exact-top-k
+    branch), the recount pass over the raw data is a pure repeat — the
+    candidate semi-join over the given counts yields byte-identical
+    results (candidates are non-null, non-empty by construction) and the
+    operator drops from two raw-data passes to one (guide §1.2: don't
+    compute things twice). Standalone callers omit it and keep the
+    recount, which aggregates only the candidate key domain — the right
+    shape when no full count exists.
     """
     src = df.select(col).where(F.col(col).isNotNull())
     partials = src.mapInPandas(
@@ -105,11 +117,14 @@ def top_k_frequent(
         .limit(4 * k)
         .select(col)
     )
-    exact = (
-        src.join(F.broadcast(candidates), col, "left_semi")
-        .groupBy(col)
-        .agg(F.count("*").alias("n"))
-    )
+    if exact_counts is not None:
+        exact = exact_counts.join(F.broadcast(candidates), col, "left_semi")
+    else:
+        exact = (
+            src.join(F.broadcast(candidates), col, "left_semi")
+            .groupBy(col)
+            .agg(F.count("*").alias("n"))
+        )
     return exact.orderBy(F.col("n").desc(), F.col(col)).limit(k)
 
 
@@ -118,12 +133,14 @@ def top_k_tokens(
     text_col: str = "text",
     k: int = 100,
     capacity: int = 4096,
+    exact_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus vocabulary heavy hitters: whitespace tokens of ``text_col``
-    (same tokenizer contract as functions/text.py) -> top-k by frequency."""
+    (same tokenizer contract as functions/text.py) -> top-k by frequency.
+    ``exact_counts``: see :func:`top_k_frequent`."""
     from ..functions import text as TX
 
     toks = docs.select(
         F.explode(TX.tokens(F.col(text_col))).alias("token")
     ).where(F.col("token") != "")
-    return top_k_frequent(toks, "token", k, capacity)
+    return top_k_frequent(toks, "token", k, capacity, exact_counts)

@@ -193,6 +193,21 @@ def s1_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     1%-of-group-size (+1) of the exact count, which the oracle asserts
     per event type — the same sketch-band pattern as b8_stats_pack."""
     ev = _events(spark, sf_dir)
+    # Shared pinned base (round-13, guide §2.4/§5): the nine branches
+    # reference the events scan 62 times in the un-pinned plan (funnel
+    # steps, MAD passes, self-joins, and their broadcast copies each
+    # re-plan the scan). At bench SFs, pin ONE five-column projection so
+    # every branch reads the blocks instead of re-scanning parquet —
+    # measured 34 scans -> 0 with the mad pin below already in place. At
+    # real scale (exchange_partitions fires) pinning a corpus-sized table
+    # is the round-9 OOM, so keep the raw scan: per-branch column pruning
+    # at the parquet reader is the correct shape there.
+    from ..operators.spread import exchange_partitions
+
+    if exchange_partitions(ev) is None:
+        ev = ev.select(
+            "user_id", "ts", "event_type", "event_id", "value"
+        ).localCheckpoint(eager=False)
     tumbling = W.tumbling_counts(ev, streaming=False).select(
         F.lit("tumbling").alias("op"),
         "window_start",
@@ -226,8 +241,16 @@ def s1_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # noise of the 3*MAD threshold, measure-zero for continuous doubles).
     # The paired operator computes the exact and GK-digest stats in the
     # SAME three grouped passes (plus the group size folded into the
-    # counting pass) — both branches below project off one result.
-    mad_stats = grouped_mad_outliers_paired(ev, ["event_type"], "value", z=3.0)
+    # counting pass) — both branches below project off one result. That
+    # result is PINNED (round-13): it is a per-event-type handful of rows
+    # consumed by TWO union branches, and without the pin each consumer
+    # re-plans the whole three-pass chain (and its nested broadcast
+    # copies) — measured 70 -> 42 Exchanges / 40 -> 16 BroadcastHashJoins
+    # for the pack, exec 1.5 -> ~0.95 s at sf0.1, identical rows. Tiny at
+    # any scale (group-key cardinality), so no scale guard is needed.
+    mad_stats = grouped_mad_outliers_paired(
+        ev, ["event_type"], "value", z=3.0
+    ).localCheckpoint(eager=False)
     outliers = mad_stats.select(
         F.lit("mad_outliers").alias("op"),
         F.lit(None).cast("timestamp_ntz").alias("window_start"),

@@ -83,3 +83,22 @@ def test_top_k_tokens_matches_exact_count_on_fixture(spark, sf_dir):
     )
     assert got == _exact_topk(toks, "token", 15)
     assert len(got) == 15 and got[0][1] >= got[-1][1]
+
+
+def test_exact_counts_path_matches_recount_path(spark, sf_dir):
+    """top_k_frequent(exact_counts=...) must return byte-identical rows to
+    the default recount path (round-13: b10 shares its full exact count
+    with the heavy-hitter recount instead of paying a second corpus
+    pass)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from aws_snowflake_kinesis_airflow_pipeline_spark.functions import text as TX
+
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token")).where(
+        F.col("token") != ""
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    base = sketches.top_k_tokens(docs, k=15, capacity=1024).collect()
+    shared = sketches.top_k_tokens(
+        docs, k=15, capacity=1024, exact_counts=counts
+    ).collect()
+    assert [tuple(r) for r in shared] == [tuple(r) for r in base]
