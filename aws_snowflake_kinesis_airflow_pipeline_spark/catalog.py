@@ -93,13 +93,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every fixture table as a temp view (for spark.sql parity).
+def register_views(
+    spark: SparkSession,
+    sf_dir: str,
+    only: tuple[str, ...] | None = None,
+) -> dict[str, DataFrame]:
+    """Register fixture tables as temp views (for spark.sql parity).
 
     Returns the name -> DataFrame mapping for DataFrame-API callers.
+    ``only``: restrict to the tables the caller's SQL actually references
+    — each ``spark.read.parquet`` costs a schema-inference/listing job at
+    plan-construction time, so registering all nine tables for a query
+    that reads one was ~8 wasted driver-blocking jobs per invocation
+    (round-13, guide §1.5).
     """
     out: dict[str, DataFrame] = {}
-    for name in TABLES:
+    for name in TABLES if only is None else only:
         df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df

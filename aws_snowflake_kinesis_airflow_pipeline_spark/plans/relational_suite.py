@@ -413,7 +413,7 @@ def b6_grouping_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*aggs)
         .select(F.lit("cube").alias("op"), "*")
     )
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("orders",))
     gsets = spark.sql(
         """
         SELECT 'gsets' AS op, o_orderstatus, o_orderpriority,

@@ -77,7 +77,7 @@ def b_subquery_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncorrelated scalar subquery plans as a broadcast one-row join; the
     correlated COUNT is decorrelated by Catalyst into count-by-key + join —
     no per-row subquery execution in either case."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("customer", "orders"))
     return spark.sql(
         """
         SELECT c_custkey, c_name
@@ -278,7 +278,9 @@ def b_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="§2 B2/B5-adjacent CTE reuse (share-of-group)",
 )
 def b_cte_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(
+        spark, sf_dir, only=("orders", "customer", "nation", "region")
+    )
     return spark.sql(
         """
         WITH nation_rev AS (

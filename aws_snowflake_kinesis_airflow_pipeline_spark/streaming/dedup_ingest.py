@@ -87,7 +87,9 @@ class NearDupIngest:
         # One row per id per batch: file-source replays can deliver a doc
         # twice inside one micro-batch; the index probe only guards
         # against docs already PERSISTED.
-        batch_df = batch_df.dropDuplicates([self.id_col]).localCheckpoint()
+        batch_df = batch_df.dropDuplicates([self.id_col]).localCheckpoint(
+            eager=False  # builds inside the first probe/dedup action (guide §2.6)
+        )
         self.batches += 1
 
         # Probe the store by reading it, not by a local-FS isdir — the
@@ -107,7 +109,7 @@ class NearDupIngest:
                 num_hashes=self.num_hashes,
                 bands=self.bands,
                 k=self.k,
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
         else:
             survivors = incremental_dedup_insert(
                 self.spark,
@@ -119,7 +121,7 @@ class NearDupIngest:
                 self.bands,
                 self.k,
                 self.threshold,
-            ).localCheckpoint()  # read by both guarded sinks below
+            ).localCheckpoint(eager=False)  # read by both guarded sinks below
 
         # Guarded publish: NOT-IN on id makes each sink idempotent under
         # foreachBatch replay (see module docstring for the crash matrix).
@@ -168,7 +170,7 @@ class NearDupIngest:
         # localCheckpoint: to_index feeds the isEmpty probe, the index
         # append AND the admitted count — three evaluations of the
         # sets-scan + anti-join otherwise.
-        to_index = to_index.localCheckpoint()
+        to_index = to_index.localCheckpoint(eager=False)
         if not to_index.isEmpty():
             # Orphan set rows (crash after the sets append, before the
             # buckets append) must not double on replay.
