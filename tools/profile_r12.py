@@ -7,6 +7,12 @@ Usage: python tools/profile_r12.py <out_tag> [query ...]
   out_tag   plans/<out_tag>/<query>_<suffix>.txt (suffix from --suffix,
             default 'before')
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
+
+Spark-version note (tool-only, never on a query path): the job counter
+reads the private `dagScheduler().nextJobId()` and plans come via
+`PythonSQLUtils.explainString` — both verified against Spark 4.1.x, the
+version this repo pins. If a Spark upgrade moves either surface, swap in
+a SparkListener (onJobStart counter) and DataFrame.explain capture.
 """
 
 from __future__ import annotations
