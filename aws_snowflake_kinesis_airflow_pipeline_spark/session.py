@@ -79,6 +79,16 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Shuffle/spill codec (guide §2.3): default stays Spark's lz4 so
+        # bench/driver runs are config-identical across rounds; zstd is
+        # opt-in for disk-bound scale sittings (the 50 M index build's
+        # set-store shuffle overflowed this box's free disk under lz4 —
+        # zstd's ~40% smaller shuffle files fit it; wall impact at bench
+        # SFs not measured, hence not the default).
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
